@@ -1,0 +1,180 @@
+"""Manifold unscented Kalman filter core — the TPU-native ``ukfom::ukf``.
+
+The reference builds every filter on the header-only ``ukfom::ukf<State>``
+sigma-point engine (used via ``ukf->predict`` at ``/root/reference/src/PoseUKF.cpp:462-465``
+and ``ukf->update`` at ``src/PoseUKF.cpp:479-481``). This module re-implements
+that engine as pure JAX functions over (mu-pytree, covariance) pairs so that it
+composes freely with ``jit``/``vmap``/``pjit``: a bank of 100k filters is just a
+``vmap`` over the leading axis, and the hot covariance algebra (sigma-point
+deviations → outer products) lowers to batched matmuls on the TPU MXU.
+
+ukfom conventions reproduced here (Hertzberg et al., "Integrating Generic
+Sensor Fusion Algorithms with Sound State Representations through Encapsulation
+of Manifolds", Information Fusion 2011; pinned by the linear-KF-equivalence and
+oracle tests in ``tests/test_ukf.py``):
+
+* 2n+1 sigma points: X₀ = μ, X_{2j+1} = μ ⊞ Lⱼ, X_{2j+2} = μ ⊞ (−Lⱼ) with
+  L = chol(P) (unit spread — no α/β/κ scaling).
+* Mean: equal-weight iterative manifold mean started from X₀.
+* Covariances: ½·Σᵢ(outer products of ⊟-deviations) — consistent with the
+  unit spread (2 points per column ⇒ factor ½), exactly reproducing a linear
+  Kalman filter on linear-Gaussian problems.
+* Update: fresh sigma points from (μ, P); S = ½ΣdZdZᵀ + R;
+  C = ½ΣdXdZᵀ; K = C·S⁻¹; χ²-gate on ν ᵀS⁻¹ν before applying
+  (gate functions ``d2p95``/``d2p99`` at ``src/PoseUKF.cpp:261-286``).
+* Gating under ``vmap`` is a masked select, not control flow, so a bank where
+  one instance rejects a measurement stays fully data-parallel.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .manifolds import ProductManifold
+
+__all__ = [
+    "D2P95",
+    "D2P99",
+    "UpdateInfo",
+    "sigma_point_deltas",
+    "sigma_points",
+    "predict",
+    "update",
+]
+
+# χ² gate thresholds for 2 degrees of freedom (src/PoseUKF.cpp:265,278).
+D2P99 = 9.21
+D2P95 = 5.991
+
+
+class UpdateInfo(NamedTuple):
+    """Per-update observability record (reference has no metrics layer; this
+    feeds utils.metrics — NIS is ``mahalanobis2``)."""
+
+    mahalanobis2: jax.Array  # scalar: ν ᵀ S⁻¹ ν (the NIS)
+    accepted: jax.Array  # bool scalar: χ² gate outcome
+    innovation: jax.Array  # (m,) measurement-space innovation ν
+
+
+def _chol(cov: jax.Array, jitter: float) -> jax.Array:
+    if jitter:
+        cov = cov + jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype)
+    return jnp.linalg.cholesky(cov)
+
+
+def sigma_point_deltas(cov: jax.Array, *, jitter: float = 0.0) -> jax.Array:
+    """(2n+1, n) tangent deltas: row 0 zero, then ±columns of chol(P).
+
+    Layout matches ukfom's interleaved order (μ, +L₀, −L₀, +L₁, −L₁, …); the
+    order only matters for which point seeds the iterative mean (row 0).
+    """
+    n = cov.shape[-1]
+    L = _chol(cov, jitter)
+    cols = L.T  # row j = column j of L
+    plus_minus = jnp.stack([cols, -cols], axis=1).reshape(2 * n, n)
+    return jnp.concatenate([jnp.zeros((1, n), dtype=cov.dtype), plus_minus], axis=0)
+
+
+def sigma_points(manifold: ProductManifold, mu: Any, cov: jax.Array, *, jitter: float = 0.0) -> Any:
+    """Draw 2·DOF+1 sigma points; returns mu-pytree with leading sigma axis."""
+    deltas = sigma_point_deltas(cov, jitter=jitter)
+    return jax.vmap(lambda d: manifold.boxplus(mu, d))(deltas)
+
+
+def _symmetrize(m: jax.Array) -> jax.Array:
+    return 0.5 * (m + m.T)
+
+
+def predict(
+    manifold: ProductManifold,
+    mu: Any,
+    cov: jax.Array,
+    f: Callable[[Any], Any],
+    process_noise: jax.Array,
+    *,
+    jitter: float = 0.0,
+    mean_iters: int = 64,
+    mean_tol: float = 1e-12,
+) -> tuple[Any, jax.Array]:
+    """Unscented prediction: (μ, P) → (μ⁺, P⁺) through process model ``f``.
+
+    Mirrors ``ukfom::ukf::predict`` as driven by the reference's
+    ``predictionStepImpl`` hooks (``src/PoseUKF.cpp:446-474``): propagate each
+    sigma point through ``f`` (a single-state pure function; vmapped here),
+    reconstruct the manifold mean iteratively, rebuild the covariance from
+    ⊟-deviations, and add the (already dt-scaled) process noise.
+    """
+    X = sigma_points(manifold, mu, cov, jitter=jitter)
+    Y = jax.vmap(f)(X)
+    mu_y = manifold.mean(Y, max_iters=mean_iters, tol=mean_tol)
+    D = jax.vmap(lambda y: manifold.boxminus(y, mu_y))(Y)  # (2n+1, n)
+    cov_y = 0.5 * (D.T @ D) + process_noise
+    return mu_y, _symmetrize(cov_y)
+
+
+def update(
+    manifold: ProductManifold,
+    mu: Any,
+    cov: jax.Array,
+    z: Any,
+    h: Callable[[Any], Any],
+    meas_cov: jax.Array,
+    *,
+    meas_manifold: Optional[ProductManifold] = None,
+    gate_threshold: Optional[float] = None,
+    jitter: float = 0.0,
+    mean_iters: int = 64,
+    mean_tol: float = 1e-12,
+) -> tuple[Any, jax.Array, UpdateInfo]:
+    """Unscented measurement update — the ``ukfom::ukf::update`` equivalent.
+
+    ``h`` maps one state pytree to either a flat (m,) vector or, when
+    ``meas_manifold`` is given, a measurement-manifold pytree (the reference's
+    S² measurements: seafloor normal ``src/BottomUKF.cpp:63-67`` and visual
+    features ``src/PoseUKF.cpp:646-648``). ``gate_threshold`` of ``None``
+    reproduces ``ukfom::accept_any_mahalanobis_distance``; a float reproduces
+    the χ² gates (e.g. ``D2P95`` for GPS at ``src/PoseUKF.cpp:578``).
+
+    The gate is applied as a masked select so banks of filters never diverge
+    in control flow. Cross-covariance uses the sigma deltas directly — for
+    every manifold here, (μ ⊞ δ) ⊟ μ = δ exactly, so this matches ukfom's
+    recomputed boxminus while skipping redundant work.
+    """
+    deltas = sigma_point_deltas(cov, jitter=jitter)  # (2n+1, n) == X_i ⊟ mu
+    X = jax.vmap(lambda d: manifold.boxplus(mu, d))(deltas)
+    Z = jax.vmap(h)(X)
+
+    if meas_manifold is None:
+        z_mean = jnp.mean(Z, axis=0)
+        dZ = Z - z_mean[None, :]
+        innovation = z - z_mean
+    else:
+        z_mean = meas_manifold.mean(Z, max_iters=mean_iters, tol=mean_tol)
+        dZ = jax.vmap(lambda zi: meas_manifold.boxminus(zi, z_mean))(Z)
+        innovation = meas_manifold.boxminus(z, z_mean)
+
+    S = 0.5 * (dZ.T @ dZ) + meas_cov
+    S = _symmetrize(S)
+    C = 0.5 * (deltas.T @ dZ)  # (n, m) cross-covariance
+
+    S_chol = jax.scipy.linalg.cho_factor(S, lower=True)
+    K = jax.scipy.linalg.cho_solve(S_chol, C.T).T  # K = C S⁻¹
+    m2 = innovation @ jax.scipy.linalg.cho_solve(S_chol, innovation)
+
+    accepted = (
+        jnp.asarray(True)
+        if gate_threshold is None
+        else m2 <= jnp.asarray(gate_threshold, dtype=m2.dtype)
+    )
+
+    mu_new = manifold.boxplus(mu, K @ innovation)
+    cov_new = _symmetrize(cov - K @ S @ K.T)
+
+    # masked apply (no control-flow divergence across a vmapped bank)
+    select = lambda a, b: jnp.where(accepted, a, b)
+    mu_out = jax.tree_util.tree_map(select, mu_new, mu)
+    cov_out = select(cov_new, cov)
+    return mu_out, cov_out, UpdateInfo(mahalanobis2=m2, accepted=accepted, innovation=innovation)

@@ -1,0 +1,22 @@
+"""Test harness configuration.
+
+Runs the suite on CPU with 8 virtual XLA devices (the standard JAX trick for
+testing multi-host sharding without a pod — SURVEY.md §4.4) and with x64
+enabled, since correctness oracles are double precision like the reference.
+Must run before the first ``import jax`` in any test module.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# A TPU-terminal sitecustomize may have force-selected the hardware backend
+# via jax.config.update("jax_platforms", ...); env vars alone don't undo that,
+# so re-pin the config itself. Tests are CPU-only by design (f64 oracles).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
