@@ -1,0 +1,266 @@
+"""VelocityUKF — model-aided velocity filter, TPU-native.
+
+Re-implements the reference ``VelocityUKF`` (``/root/reference/src/VelocityUKF.hpp``,
+``src/VelocityUKF.cpp``): a 4-DOF UKF over {velocity ℝ³, z_position ℝ¹}
+(``VelocityUKF.hpp:24-27``) whose *process model is the AUV forward dynamics* —
+each sigma point is pushed through one step of the motion simulator driven by
+the latest thruster efforts and gyro rates (``VelocityUKF.cpp:6-33``), giving
+high-rate velocity between DVL fixes.
+
+Architecture: the reference's two stateful ``ModelSimulation`` objects
+(``motion_model`` tracking orientation + ``prediction_model`` for sigma
+propagation, ``VelocityUKF.cpp:58-77``) become explicit state threading — the
+tracker state lives inside :class:`VelocityUKFState` and the per-sigma-point
+simulation is a pure function, so ``vmap`` over sigma points (and over filter
+banks) is free.
+
+Inputs-vs-updates pattern (``VelocityUKF.cpp:87-104``): gyro and body-effort
+"measurements" are cached as inputs to the next prediction; DVL and pressure
+are synchronous UKF updates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import dynamics as dyn
+from ..ops import manifolds as mf
+from ..ops import ukf
+from ..utils.validation import check_measurement
+
+__all__ = [
+    "VelocityState",
+    "VELOCITY_MANIFOLD",
+    "VelocityUKFState",
+    "VelocityUKFParams",
+    "init",
+    "default_process_noise",
+    "predict",
+    "update_dvl",
+    "update_pressure",
+    "integrate_gyro",
+    "integrate_body_efforts",
+    "VelocityUKF",
+]
+
+
+class VelocityState(NamedTuple):
+    """The ``MTK_BUILD_MANIFOLD(VelocityState, ...)`` of ``VelocityUKF.hpp:24-27``."""
+
+    velocity: jax.Array  # (3,) body-frame linear velocity
+    z_position: jax.Array  # (1,) depth coordinate (z in nav frame)
+
+
+VELOCITY_MANIFOLD = mf.make_manifold(
+    mf.Field("velocity", "vec", 3),
+    mf.Field("z_position", "vec", 1),
+)  # DOF = 4 → 9 sigma points
+
+
+class VelocityUKFParams(NamedTuple):
+    """Static-per-run parameters: vehicle model + process noise.
+
+    ``process_noise`` reproduces the reference ctor's
+    ``MTK::setDiagonal(process_noise_cov, &WState::velocity, 0.0001)``
+    (``VelocityUKF.cpp:54-55``): velocity diag 1e-4, z_position diag 0.
+    """
+
+    model: dyn.UWVParameters
+    process_noise: jax.Array  # (4,4)
+
+
+class VelocityUKFState(NamedTuple):
+    """Full filter state as one pytree (leading-axis batchable)."""
+
+    mu: VelocityState
+    cov: jax.Array  # (4,4)
+    body_efforts: jax.Array  # (6,) latest thruster efforts (input cache)
+    angular_velocity: jax.Array  # (3,) latest gyro rates (input cache)
+    model_state: dyn.PoseVelocityState  # the ``motion_model`` orientation tracker
+
+
+def default_process_noise(dtype=jnp.float64) -> jax.Array:
+    q = jnp.zeros((4, 4), dtype=dtype)
+    return q.at[:3, :3].set(1e-4 * jnp.eye(3, dtype=dtype))
+
+
+def init(
+    initial_state: VelocityState,
+    state_cov: jax.Array,
+    model: dyn.UWVParameters,
+) -> tuple[VelocityUKFState, VelocityUKFParams]:
+    """Construct filter state + params.
+
+    Fuses the reference ctor (``VelocityUKF.cpp:49-56``) and
+    ``setupMotionModel`` (``VelocityUKF.cpp:58-77``): the orientation tracker
+    starts at the origin with identity orientation and the filter's current
+    velocity.
+    """
+    dtype = initial_state.velocity.dtype
+    params = VelocityUKFParams(model=model, process_noise=default_process_noise(dtype))
+    state = VelocityUKFState(
+        mu=initial_state,
+        cov=jnp.asarray(state_cov, dtype=dtype),
+        body_efforts=jnp.zeros(6, dtype=dtype),
+        angular_velocity=jnp.zeros(3, dtype=dtype),
+        model_state=dyn.PoseVelocityState(
+            position=jnp.zeros(3, dtype=dtype),
+            orientation=mf.quat_identity(dtype),
+            linear_velocity=initial_state.velocity,
+            angular_velocity=jnp.zeros(3, dtype=dtype),
+        ),
+    )
+    return state, params
+
+
+def _process_motion_model(
+    chi: VelocityState,
+    params: VelocityUKFParams,
+    orientation: jax.Array,
+    angular_velocity: jax.Array,
+    body_efforts: jax.Array,
+    dt,
+) -> VelocityState:
+    """Per-sigma-point process model — ``processMotionModel`` of
+    ``VelocityUKF.cpp:6-33``: seed the simulator with the sigma point's
+    velocity, advance one dynamics step, keep the velocity delta, and
+    integrate depth with the rotated *new* velocity."""
+    seed = dyn.PoseVelocityState(
+        position=jnp.zeros(3, dtype=chi.velocity.dtype),
+        orientation=orientation,
+        linear_velocity=chi.velocity,
+        angular_velocity=angular_velocity,
+    )
+    sim = dyn.simulate_effort(params.model, seed, body_efforts, dt, integrate_pose=False)
+    new_velocity = sim.linear_velocity
+    z_vel = mf.quat_rotate(orientation, new_velocity)[2]
+    return VelocityState(
+        velocity=new_velocity,
+        z_position=chi.z_position + dt * z_vel[None],
+    )
+
+
+def predict(state: VelocityUKFState, params: VelocityUKFParams, dt) -> VelocityUKFState:
+    """Prediction step — ``VelocityUKF::predictionStepImpl`` (``VelocityUKF.cpp:114-130``).
+
+    1. sigma propagation through the dynamics with the tracker's orientation,
+       Q = dt·process_noise (note: *linear* dt scaling, unlike PoseUKF's dt²);
+    2. advance the orientation tracker one full kinematic step with the same
+       efforts (``VelocityUKF.cpp:126-127``).
+    """
+    orientation = state.model_state.orientation
+
+    def f(chi):
+        return _process_motion_model(
+            chi, params, orientation, state.angular_velocity, state.body_efforts, dt
+        )
+
+    mu, cov = ukf.predict(VELOCITY_MANIFOLD, state.mu, state.cov, f, dt * params.process_noise)
+    tracker = dyn.simulate_effort(
+        params.model, state.model_state, state.body_efforts, dt, integrate_pose=True
+    )
+    return state._replace(mu=mu, cov=cov, model_state=tracker)
+
+
+def update_dvl(
+    state: VelocityUKFState, z: jax.Array, cov: jax.Array
+) -> tuple[VelocityUKFState, ukf.UpdateInfo]:
+    """DVL velocity update — direct observation of the velocity sub-state
+    (``measurementDVL``, ``VelocityUKF.cpp:35-40,79-85``); accept-any gate."""
+    mu, c, info = ukf.update(
+        VELOCITY_MANIFOLD, state.mu, state.cov, z, lambda s: s.velocity, cov
+    )
+    return state._replace(mu=mu, cov=c), info
+
+
+def update_pressure(
+    state: VelocityUKFState, z: jax.Array, cov: jax.Array
+) -> tuple[VelocityUKFState, ukf.UpdateInfo]:
+    """Pressure-derived depth update — observes z_position directly
+    (``measurementPressureSensor``, ``VelocityUKF.cpp:42-47,106-112``)."""
+    mu, c, info = ukf.update(
+        VELOCITY_MANIFOLD, state.mu, state.cov, z, lambda s: s.z_position, cov
+    )
+    return state._replace(mu=mu, cov=c), info
+
+
+def integrate_gyro(state: VelocityUKFState, rates: jax.Array) -> VelocityUKFState:
+    """Gyro rates are an *input*, not an update (``VelocityUKF.cpp:87-98``):
+    cache them and refresh the orientation tracker's angular velocity."""
+    return state._replace(
+        angular_velocity=rates,
+        model_state=state.model_state._replace(angular_velocity=rates),
+    )
+
+
+def integrate_body_efforts(state: VelocityUKFState, efforts: jax.Array) -> VelocityUKFState:
+    """Thruster efforts are an *input* (``VelocityUKF.cpp:100-104``)."""
+    return state._replace(body_efforts=efforts)
+
+
+# ---------------------------------------------------------------------------
+# Object-style wrapper mirroring the reference class API (single instance).
+# ---------------------------------------------------------------------------
+
+
+class VelocityUKF:
+    """Stateful convenience wrapper with the reference's class surface
+    (``VelocityUKF.hpp:33-68``): construct, ``setup_motion_model``,
+    ``integrate_*`` overloads, ``prediction_step``. All math delegates to the
+    pure functions above (which is what batched/sharded deployments use)."""
+
+    def __init__(self, initial_state: VelocityState, state_cov):
+        self._initial = (initial_state, jnp.asarray(state_cov))
+        self.state: Optional[VelocityUKFState] = None
+        self.params: Optional[VelocityUKFParams] = None
+
+    def setup_motion_model(self, model: dyn.UWVParameters) -> bool:
+        self.state, self.params = init(self._initial[0], self._initial[1], model)
+        return True
+
+    def _require_model(self):
+        # mirrors the reference's runtime error (VelocityUKF.cpp:117-118)
+        if self.state is None:
+            raise RuntimeError("Motion model is not initialized!")
+
+    def prediction_step(self, dt: float) -> None:
+        self._require_model()
+        self.state = predict(self.state, self.params, dt)
+
+    def integrate_dvl_measurement(self, mu, cov) -> ukf.UpdateInfo:
+        self._require_model()
+        check_measurement(mu, cov)
+        self.state, info = update_dvl(self.state, jnp.asarray(mu), jnp.asarray(cov))
+        return info
+
+    def integrate_pressure_measurement(self, mu, cov) -> ukf.UpdateInfo:
+        self._require_model()
+        check_measurement(mu, cov)
+        self.state, info = update_pressure(self.state, jnp.asarray(mu), jnp.asarray(cov))
+        return info
+
+    def integrate_gyro_measurement(self, mu, cov=None) -> None:
+        self._require_model()
+        if cov is not None:
+            check_measurement(mu, cov)
+        self.state = integrate_gyro(self.state, jnp.asarray(mu))
+
+    def integrate_body_efforts(self, mu, cov=None) -> None:
+        self._require_model()
+        if cov is not None:
+            check_measurement(mu, cov)
+        self.state = integrate_body_efforts(self.state, jnp.asarray(mu))
+
+    # reference getCurrentState equivalent
+    @property
+    def mu(self) -> VelocityState:
+        self._require_model()
+        return self.state.mu
+
+    @property
+    def sigma(self) -> jax.Array:
+        self._require_model()
+        return self.state.cov
