@@ -448,6 +448,29 @@ def make_manifold(*fields: Field) -> ProductManifold:
     return ProductManifold(fields)
 
 
+# ---------------------------------------------------------------------------
+# Rigid transforms (quaternion, translation) — the Eigen::Affine3d idiom of
+# the reference's marker updates (src/PoseUKF.cpp:237-241,
+# src/IndirectPoseUKF.cpp:42-47) without matrix round-trips.
+# ---------------------------------------------------------------------------
+
+
+def affine_mul(qa: jax.Array, pa: jax.Array, qb: jax.Array, pb: jax.Array):
+    """(qa,pa) ∘ (qb,pb): compose rigid transforms a·b."""
+    return quat_mul(qa, qb), pa + quat_rotate(qa, pb)
+
+
+def affine_inv(q: jax.Array, p: jax.Array):
+    """(q,p)⁻¹."""
+    qi = quat_conj(q)
+    return qi, -quat_rotate(qi, p)
+
+
+def affine_apply(q: jax.Array, p: jax.Array, v: jax.Array) -> jax.Array:
+    """(q,p)·v = R(q)v + p."""
+    return quat_rotate(q, v) + p
+
+
 class S2Direct:
     """Measurement-manifold adapter for bare S² unit vectors (no pytree).
 
