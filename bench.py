@@ -1,0 +1,139 @@
+"""Benchmark harness — PoseUKF predict+update throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric (BASELINE.md): batched PoseUKF predict+update steps/sec/chip.
+One "step" = one 53-DOF unscented prediction (107 sigma points through the
+full process model incl. earth-rate attitude propagation) + one DVL velocity
+update, per filter instance.
+
+Baseline: the reference publishes no numbers (BASELINE.md), so the stand-in
+for "C++ single-core filter-updates/sec" is the same step jit-compiled by
+XLA-CPU for a single f64 instance — Eigen-class scalar code on one core,
+which is what the reference's ukfom/MTK stack compiles to. ``vs_baseline`` is
+the speedup of the batched TPU path over that single-instance CPU rate (the
+north-star target is ≥100×).
+
+Environment knobs: BENCH_BANK (default 8192), BENCH_ITERS (default 30),
+BENCH_DTYPE (float32 on TPU — f64 does not compile on this backend).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _log(*a):
+    print(*a, file=sys.stderr)
+
+
+def build_step(dtype):
+    from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
+    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
+    from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
+
+    cfg = default_pose_ukf_config()
+    model = dyn.default_uwv_parameters(dtype=dtype)
+    state, params = pukf.init_from_pose(
+        imu_in_nwu_pos=jnp.zeros(3, dtype),
+        imu_in_nwu_pos_cov=jnp.eye(3, dtype=dtype) * 0.01,
+        imu_in_nwu_rot=jnp.array([1.0, 0, 0, 0], dtype),
+        imu_in_nwu_rot_cov=jnp.eye(3, dtype=dtype) * 1e-4,
+        config=cfg,
+        model_parameters=model,
+        imu_delta_t=0.01,
+        dtype=dtype,
+    )
+    state = pukf.integrate_rotation_rate(state, jnp.array([0.0, 0.0, 0.01], dtype))
+
+    def step(s, z, r):
+        s = pukf.predict(s, params, 0.01)
+        s, _ = pukf.update_velocity(s, params, z, r)
+        return s
+
+    return state, params, step
+
+
+def bench_tpu_bank(state, step, bank_n, iters, dtype):
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
+
+    bstate = bankmod.replicate(state, bank_n)
+    z = jnp.tile(jnp.array([0.3, 0.0, 0.0], dtype)[None], (bank_n, 1))
+    r = jnp.tile((jnp.eye(3, dtype=dtype) * 1e-3)[None], (bank_n, 1, 1))
+
+    @jax.jit
+    def bank_step(bs):
+        return jax.vmap(step)(bs, z, r)
+
+    bstate = jax.block_until_ready(bank_step(bstate))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        bstate = bank_step(bstate)
+    jax.block_until_ready(bstate)
+    dt = time.perf_counter() - t0
+    return bank_n * iters / dt
+
+
+def bench_cpu_single(iters=200):
+    """Single-instance f64 rate on one CPU core — the C++-semantics stand-in."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        state, params, step = build_step(jnp.float64)
+        z = jnp.array([0.3, 0.0, 0.0], jnp.float64)
+        r = jnp.eye(3, dtype=jnp.float64) * 1e-3
+        jstep = jax.jit(step)
+        state = jax.block_until_ready(jstep(state, z, r))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = jstep(state, z, r)
+        jax.block_until_ready(state)
+        return iters / (time.perf_counter() - t0)
+
+
+def main():
+    bank_n = int(os.environ.get("BENCH_BANK", "8192"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    backend = jax.default_backend()
+    # f64 is CPU-only on this stack; TPU runs the f32 throughput path.
+    dtype = jnp.float64 if backend == "cpu" else jnp.float32
+    dtype = {"float32": jnp.float32, "float64": jnp.float64}.get(
+        os.environ.get("BENCH_DTYPE", ""), dtype
+    )
+
+    _log(f"backend={backend} bank={bank_n} iters={iters} dtype={jnp.dtype(dtype).name}")
+    state, params, step = build_step(dtype)
+
+    t0 = time.perf_counter()
+    value = bench_tpu_bank(state, step, bank_n, iters, dtype)
+    _log(f"batched: {value:.0f} steps/s (wall {time.perf_counter()-t0:.1f}s)")
+
+    try:
+        baseline = bench_cpu_single()
+        _log(f"single-instance CPU f64 baseline: {baseline:.0f} steps/s")
+        vs_baseline = value / baseline
+    except Exception as e:  # CPU backend unavailable — report raw throughput
+        _log(f"baseline measurement failed: {e}")
+        vs_baseline = float("nan")
+
+    print(
+        json.dumps(
+            {
+                "metric": "pose_ukf_predict_update_steps_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "filter-steps/s",
+                "vs_baseline": round(vs_baseline, 2) if np.isfinite(vs_baseline) else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,3 @@
-from . import bottom_ukf, indirect_pose_ukf, velocity_ukf
+from . import bottom_ukf, indirect_pose_ukf, pose_ukf, velocity_ukf
 
-__all__ = ["bottom_ukf", "indirect_pose_ukf", "velocity_ukf"]
+__all__ = ["bottom_ukf", "indirect_pose_ukf", "pose_ukf", "velocity_ukf"]

@@ -59,6 +59,14 @@ class UpdateInfo(NamedTuple):
     innovation: jax.Array  # (m,) measurement-space innovation ν
 
 
+def _default_tol(dtype) -> float:
+    """Manifold-mean convergence tolerance matched to the working precision:
+    1e-12 for f64 oracle paths, 1e-6 for f32 TPU throughput paths (an f32
+    iteration cannot contract below ~1e-7, so a tighter tol would spin the
+    while_loop to max_iters)."""
+    return 1e-12 if jnp.dtype(dtype).itemsize >= 8 else 1e-6
+
+
 def _chol(cov: jax.Array, jitter: float) -> jax.Array:
     if jitter:
         cov = cov + jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype)
@@ -97,7 +105,7 @@ def predict(
     *,
     jitter: float = 0.0,
     mean_iters: int = 64,
-    mean_tol: float = 1e-12,
+    mean_tol: Optional[float] = None,
 ) -> tuple[Any, jax.Array]:
     """Unscented prediction: (μ, P) → (μ⁺, P⁺) through process model ``f``.
 
@@ -107,6 +115,8 @@ def predict(
     reconstruct the manifold mean iteratively, rebuild the covariance from
     ⊟-deviations, and add the (already dt-scaled) process noise.
     """
+    if mean_tol is None:
+        mean_tol = _default_tol(cov.dtype)
     X = sigma_points(manifold, mu, cov, jitter=jitter)
     Y = jax.vmap(f)(X)
     mu_y = manifold.mean(Y, max_iters=mean_iters, tol=mean_tol)
@@ -127,7 +137,7 @@ def update(
     gate_threshold: Optional[float] = None,
     jitter: float = 0.0,
     mean_iters: int = 64,
-    mean_tol: float = 1e-12,
+    mean_tol: Optional[float] = None,
 ) -> tuple[Any, jax.Array, UpdateInfo]:
     """Unscented measurement update — the ``ukfom::ukf::update`` equivalent.
 
@@ -143,6 +153,8 @@ def update(
     every manifold here, (μ ⊞ δ) ⊟ μ = δ exactly, so this matches ukfom's
     recomputed boxminus while skipping redundant work.
     """
+    if mean_tol is None:
+        mean_tol = _default_tol(cov.dtype)
     deltas = sigma_point_deltas(cov, jitter=jitter)  # (2n+1, n) == X_i ⊟ mu
     X = jax.vmap(lambda d: manifold.boxplus(mu, d))(deltas)
     Z = jax.vmap(h)(X)

@@ -1,0 +1,92 @@
+"""Multi-host sharding of filter banks over TPU meshes.
+
+SURVEY.md §2.4: the bank axis is embarrassingly parallel, so the natural
+mapping is a 1-D ``bank`` mesh axis spanning the pod slice — per-instance
+steps run with zero communication, and XLA inserts collectives (psum over ICI
+within a slice, DCN across slices) only at the ensemble-statistics reduction
+points exposed here. This is the TPU-native replacement for the comm backend
+the reference never had (it ran one filter per process).
+
+Design notes (jax-ml.github.io/scaling-book recipe): pick a mesh, annotate
+shardings on the inputs, let XLA propagate and insert collectives, profile.
+There is no model/tensor axis worth sharding for 53-DOF filters — one
+instance's 107×53 sigma work is far below a chip's MXU granularity, so
+intra-filter parallelism stays *within* a chip (batched matmuls) and
+cross-chip scaling is pure DP over the bank. A second mesh axis would only
+add latency.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "bank_sharding",
+    "shard_bank",
+    "replicated",
+    "ensemble_mean",
+    "ensemble_moments",
+    "acceptance_rate",
+    "with_bank_constraint",
+]
+
+BANK_AXIS = "bank"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = BANK_AXIS) -> Mesh:
+    """1-D device mesh over all (or given) devices; works identically for one
+    chip, one host, or a multi-host pod slice (jax.distributed process mesh)."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def bank_sharding(mesh: Mesh, axis: str = BANK_AXIS) -> NamedSharding:
+    """Shard the leading (bank) dimension, replicate everything else."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_bank(tree: Any, mesh: Mesh, axis: str = BANK_AXIS) -> Any:
+    """Place a bank pytree with its leading axis sharded over the mesh."""
+    sh = bank_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def with_bank_constraint(tree: Any, mesh: Mesh, axis: str = BANK_AXIS) -> Any:
+    """In-jit sharding constraint pinning the bank layout (keeps XLA from
+    resharding between predict/update phases)."""
+    sh = bank_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda a: jax.lax.with_sharding_constraint(a, sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# ensemble-statistics reduction points (the only cross-chip communication)
+# ---------------------------------------------------------------------------
+
+
+def ensemble_mean(tree: Any) -> Any:
+    """Mean over the bank axis — under jit on sharded inputs this lowers to a
+    psum over ICI (the one collective of the steady-state loop)."""
+    return jax.tree_util.tree_map(lambda a: a.mean(axis=0), tree)
+
+
+def ensemble_moments(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(mean, covariance) of a (N, d) bank statistic across instances."""
+    mean = x.mean(axis=0)
+    centered = x - mean[None]
+    cov = centered.T @ centered / x.shape[0]
+    return mean, cov
+
+
+def acceptance_rate(accepted: jax.Array) -> jax.Array:
+    """Fraction of bank instances whose last χ²-gated update was applied —
+    the gate-rejection observability the reference lacked (SURVEY.md §5)."""
+    return accepted.astype(jax.numpy.float32).mean()

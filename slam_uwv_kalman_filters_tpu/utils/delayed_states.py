@@ -1,0 +1,80 @@
+"""Delayed-state ring buffer — ``pose_estimation::DelayedStates<T>`` as a
+jit-safe fixed-size pytree.
+
+The reference declares the buffer for out-of-sequence XY-position fusion
+(``/root/reference/src/PoseUKF.hpp:19,197``; API ``pushState`` /
+``getClosestState`` / ``fromSeconds`` used at ``src/PoseUKF.cpp:470-472,
+660-662``). This implementation is a circular buffer over static shapes:
+``push`` is a ``dynamic_update_slice``, lookup is an argmin over timestamp
+distance with validity masking — no dynamic allocation, so it lives happily
+inside jitted, vmapped filter loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["DelayedStates", "make_buffer", "push", "closest", "from_seconds"]
+
+_US_PER_S = 1_000_000
+
+
+def from_seconds(seconds) -> jax.Array:
+    """``DelayedStates::fromSeconds`` — seconds → integer microseconds."""
+    return jnp.asarray(jnp.round(jnp.asarray(seconds, jnp.float64) * _US_PER_S), jnp.int64)
+
+
+class DelayedStates(NamedTuple):
+    timestamps: jax.Array  # (N,) int64 microseconds
+    values: jax.Array  # (N, d)
+    covs: jax.Array  # (N, d, d)
+    head: jax.Array  # () int32 — next write slot
+    count: jax.Array  # () int32 — valid entries (≤ N)
+    max_delay_us: jax.Array  # () int64 — maximum accepted measurement delay
+
+
+def make_buffer(capacity: int, dim: int, maximum_delay: float, dtype=jnp.float64) -> DelayedStates:
+    """Fixed-capacity buffer; ``maximum_delay`` in seconds mirrors the
+    reference ``setupDelayedStateBuffer`` argument (``src/PoseUKF.hpp:130-133``)."""
+    return DelayedStates(
+        timestamps=jnp.zeros(capacity, jnp.int64),
+        values=jnp.zeros((capacity, dim), dtype),
+        covs=jnp.zeros((capacity, dim, dim), dtype),
+        head=jnp.zeros((), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+        max_delay_us=from_seconds(abs(maximum_delay)),
+    )
+
+
+def push(buf: DelayedStates, ts_us: jax.Array, value: jax.Array, cov: jax.Array) -> DelayedStates:
+    """``pushState(ts, state, cov)`` — overwrite the oldest slot."""
+    i = buf.head
+    n = buf.timestamps.shape[0]
+    return buf._replace(
+        timestamps=buf.timestamps.at[i].set(jnp.asarray(ts_us, jnp.int64)),
+        values=buf.values.at[i].set(value),
+        covs=buf.covs.at[i].set(cov),
+        head=(i + 1) % n,
+        count=jnp.minimum(buf.count + 1, n),
+    )
+
+
+def closest(buf: DelayedStates, ts_us: jax.Array):
+    """``getClosestState(ts)`` → (value, cov, found).
+
+    found is False when the buffer is empty or the nearest entry is farther
+    than ``max_delay_us`` from the requested timestamp (the reference returns
+    false when the delay exceeds the configured maximum).
+    """
+    n = buf.timestamps.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    valid = idx < buf.count  # slots written at least once (head wraps ⇒ all valid)
+    dist = jnp.abs(buf.timestamps - jnp.asarray(ts_us, jnp.int64))
+    big = jnp.iinfo(jnp.int64).max
+    dist = jnp.where(valid, dist, big)
+    best = jnp.argmin(dist)
+    found = (buf.count > 0) & (dist[best] <= buf.max_delay_us)
+    return buf.values[best], buf.covs[best], found

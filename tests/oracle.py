@@ -98,6 +98,18 @@ class SO3Part:
         return so3_boxminus(a, b)
 
 
+class Mat33Part:
+    """3×3 matrix field with column-major 9-vector tangent (MTK::matrix)."""
+
+    dim = 9
+
+    def boxplus(self, x, d, scale=1.0):
+        return x + scale * np.reshape(d, (3, 3), order="F")
+
+    def boxminus(self, a, b):
+        return np.reshape(a - b, 9, order="F")
+
+
 class OracleManifold:
     """Product manifold over named parts; state = dict name->np.array."""
 

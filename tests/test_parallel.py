@@ -1,0 +1,133 @@
+"""Parallel-layer tests (SURVEY.md §4 items 3-4): bank replication/masking,
+mesh sharding on the 8-device virtual CPU mesh, checkpoint round-trips."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
+from slam_uwv_kalman_filters_tpu.models import velocity_ukf as vukf
+from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
+from slam_uwv_kalman_filters_tpu.ops import manifolds as mf
+from slam_uwv_kalman_filters_tpu.parallel import bank, checkpoint, sharding
+from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
+
+CFG = default_pose_ukf_config()
+MODEL = dyn.default_uwv_parameters()
+
+
+def pose_filter():
+    return pukf.init_from_pose(
+        jnp.zeros(3), jnp.eye(3) * 0.01, mf.quat_identity(), jnp.eye(3) * 1e-4, CFG, MODEL
+    )
+
+
+def test_replicate_and_bank_size():
+    state, params = pose_filter()
+    b = bank.replicate(state, 16)
+    assert bank.bank_size(b) == 16
+    assert b.cov.shape == (16, 53, 53)
+    assert b.mu.orientation.shape == (16, 4)
+
+
+def test_masked_update_per_instance_validity():
+    state, params = pose_filter()
+    n = 4
+    bstate = bank.replicate(state, n)
+    zs = jnp.tile(jnp.array([1.0, 0.0, 0.0])[None], (n, 1))
+    Rs = jnp.tile((jnp.eye(3) * 1e-4)[None], (n, 1, 1))
+    valid = jnp.array([True, False, True, False])
+
+    upd = bank.vmap_filter(pukf.update_velocity)
+    bstate2, info = bank.masked(upd)(bstate, valid, params, zs, Rs)
+
+    moved = np.linalg.norm(np.asarray(bstate2.mu.velocity), axis=1)
+    assert moved[0] > 0.5 and moved[2] > 0.5
+    np.testing.assert_allclose(moved[1], 0.0, atol=0)
+    np.testing.assert_allclose(np.asarray(bstate2.cov[1]), np.asarray(bstate.cov[1]), atol=0)
+
+
+def test_param_sweep_vmap():
+    """Per-instance parameter sweep: different water_velocity_tau per filter
+    (the Monte-Carlo tuning axis) — vmap over BOTH state and params."""
+    state, params = pose_filter()
+    n = 3
+    taus = jnp.array([10.0, 100.0, 1000.0])
+    pbank = bank.replicate(params, n)
+    pbank = pbank._replace(water_velocity_tau=taus)
+    sbank = bank.replicate(state, n)
+    wv = jnp.tile(jnp.array([0.2, 0.0])[None], (n, 1))
+    sbank = sbank._replace(mu=sbank.mu._replace(water_velocity=wv))
+
+    step = bank.vmap_filter(pukf.predict, params_axis=0, data_axes=None)
+    out = step(sbank, pbank, 0.1)
+    decays = np.asarray(out.mu.water_velocity[:, 0])
+    # faster tau ⇒ faster decay toward 0
+    assert decays[0] < decays[1] < decays[2] < 0.2
+
+
+def test_sharded_bank_on_virtual_mesh():
+    """8 virtual CPU devices (conftest): shard a VelocityUKF bank, run a
+    jitted predict+update step with in-jit sharding constraints, reduce."""
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    mesh = sharding.make_mesh()
+    n = 32  # 4 per device
+
+    mu = vukf.VelocityState(velocity=jnp.zeros(3), z_position=jnp.zeros(1))
+    state, params = vukf.init(mu, jnp.eye(4) * 0.1, MODEL)
+    bstate = sharding.shard_bank(bank.replicate(state, n), mesh)
+    taus = jnp.asarray(np.random.default_rng(1).normal(size=(n, 6)) * 20.0)
+    taus = jax.device_put(taus, sharding.bank_sharding(mesh))
+
+    @jax.jit
+    def step(bs, taus):
+        bs = jax.vmap(vukf.integrate_body_efforts)(bs, taus)
+        bs = jax.vmap(lambda s: vukf.predict(s, params, 0.1))(bs)
+        bs = sharding.with_bank_constraint(bs, mesh)
+        stats = sharding.ensemble_mean(bs.mu.velocity)  # cross-device reduction
+        return bs, stats
+
+    bs2, stats = step(bstate, taus)
+    assert bs2.cov.shape == (n, 4, 4)
+    # sharding preserved on outputs
+    assert len(bs2.cov.sharding.device_set) == 8
+    # reduction matches unsharded computation
+    solo = jax.vmap(lambda s, t: vukf.predict(vukf.integrate_body_efforts(s, t), params, 0.1))(
+        bank.replicate(state, n), taus
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats), np.asarray(solo.mu.velocity.mean(axis=0)), atol=1e-12
+    )
+
+
+def test_ensemble_moments_and_acceptance():
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(100, 3)))
+    mean, cov = sharding.ensemble_moments(x)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(x).mean(0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(cov), np.cov(np.asarray(x).T, bias=True), atol=1e-10)
+    acc = sharding.acceptance_rate(jnp.array([True, True, False, True]))
+    np.testing.assert_allclose(float(acc), 0.75)
+
+
+def test_checkpoint_roundtrip():
+    import tempfile
+
+    state, params = pose_filter()
+    bstate = bank.replicate(state, 4)
+    # perturb so the restore is meaningful
+    bstate = bstate._replace(cov=bstate.cov + 1e-3)
+    with tempfile.TemporaryDirectory() as d:
+        checkpoint.save(f"{d}/bank.msgpack", bstate)
+        template = bank.replicate(state, 4)
+        restored = checkpoint.restore(f"{d}/bank.msgpack", template)
+    np.testing.assert_allclose(np.asarray(restored.cov), np.asarray(bstate.cov), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(restored.mu.orientation), np.asarray(bstate.mu.orientation), atol=0
+    )
+    # resume == the reference's second ctor: construct-from-state
+    resumed = pukf.init_from_state(
+        jax.tree_util.tree_map(lambda a: a[0], restored.mu),
+        restored.cov[0],
+        params,
+    )
+    np.testing.assert_allclose(np.asarray(resumed.cov), np.asarray(bstate.cov[0]), atol=0)

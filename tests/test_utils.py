@@ -1,0 +1,149 @@
+"""Tests for config round-trips, delayed-state buffer, metrics, and the
+PoseUKF delayed-measurement paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
+from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
+from slam_uwv_kalman_filters_tpu.ops import manifolds as mf
+from slam_uwv_kalman_filters_tpu.utils import delayed_states as ds
+from slam_uwv_kalman_filters_tpu.utils import metrics
+from slam_uwv_kalman_filters_tpu.utils.config import (
+    CameraConfiguration,
+    PoseUKFConfig,
+    config_from_dict,
+    config_to_dict,
+    default_pose_ukf_config,
+    load_config,
+    save_config,
+)
+
+CFG = default_pose_ukf_config()
+MODEL = dyn.default_uwv_parameters()
+
+
+def test_config_json_roundtrip(tmp_path):
+    p = tmp_path / "cfg.json"
+    save_config(CFG, p)
+    cfg2 = load_config(p)
+    assert cfg2 == CFG
+    assert cfg2.rotation_rate.bias_instability == CFG.rotation_rate.bias_instability
+    assert cfg2.visual_landmarks.camera_config.fx == CFG.visual_landmarks.camera_config.fx
+
+
+def test_config_dict_roundtrip():
+    d = config_to_dict(CFG)
+    assert isinstance(d["max_jerk"], list)
+    cfg2 = config_from_dict(d)
+    assert cfg2 == CFG
+
+
+def test_delayed_buffer_push_and_lookup():
+    buf = ds.make_buffer(capacity=8, dim=2, maximum_delay=2.0)
+    for k in range(12):  # wraps around
+        ts = ds.from_seconds(0.1 * k)
+        buf = ds.push(buf, ts, jnp.array([float(k), -float(k)]), jnp.eye(2) * (k + 1.0))
+    # closest to t=0.95s is entry k=9 or 10 (ties break low) — within horizon
+    v, c, found = ds.closest(buf, ds.from_seconds(0.97))
+    assert bool(found)
+    np.testing.assert_allclose(np.asarray(v), [10.0, -10.0])
+    # entries 0..3 were overwritten by the wrap: nearest to t=0 is k=4
+    v2, _, found2 = ds.closest(buf, ds.from_seconds(0.0))
+    assert bool(found2)  # 0.4s away ≤ 2s horizon
+    np.testing.assert_allclose(np.asarray(v2), [4.0, -4.0])
+    # far beyond the horizon: not found
+    _, _, found3 = ds.closest(buf, ds.from_seconds(100.0))
+    assert not bool(found3)
+    # empty buffer: not found
+    empty = ds.make_buffer(4, 2, 1.0)
+    _, _, found4 = ds.closest(empty, ds.from_seconds(0.0))
+    assert not bool(found4)
+
+
+def test_delayed_buffer_jit_scan():
+    buf = ds.make_buffer(capacity=16, dim=2, maximum_delay=5.0)
+
+    def body(b, k):
+        b = ds.push(b, ds.from_seconds(k * 0.1), jnp.stack([k * 1.0, 0.0]), jnp.eye(2))
+        return b, None
+
+    buf, _ = jax.lax.scan(body, buf, jnp.arange(10, dtype=jnp.float64))
+    v, _, found = jax.jit(ds.closest)(buf, ds.from_seconds(0.5))
+    assert bool(found)
+    np.testing.assert_allclose(np.asarray(v), [5.0, 0.0])
+
+
+def pose_filter(**kw):
+    args = dict(
+        imu_in_nwu_pos=jnp.zeros(3),
+        imu_in_nwu_pos_cov=jnp.eye(3) * 0.01,
+        imu_in_nwu_rot=mf.quat_identity(),
+        imu_in_nwu_rot_cov=jnp.eye(3) * 1e-4,
+        config=CFG,
+        model_parameters=MODEL,
+    )
+    args.update(kw)
+    return pukf.init_from_pose(**args)
+
+
+def test_pose_delayed_buffered_update():
+    state, params = pose_filter()
+    buf = ds.make_buffer(capacity=64, dim=2, maximum_delay=5.0)
+    ts = jnp.asarray(0, jnp.int64)
+    # drive forward, recording xy into the buffer each step
+    state = state._replace(mu=state.mu._replace(velocity=jnp.array([1.0, 0.0, 0.0])))
+    for k in range(20):
+        state = pukf.predict(state, params, 0.1)
+        ts = ts + ds.from_seconds(0.1)
+        buf = pukf.push_delayed_state(buf, state, ts)
+    # a fix measured 1 s ago: true position then was ~(1.0, 0)
+    z = jnp.array([1.05, 0.02])
+    state2, info, found = pukf.update_delayed_position_buffered(
+        state, params, buf, ts, z, jnp.eye(2) * 0.01, 1.0
+    )
+    assert bool(found) and bool(info.accepted)
+    # shift anchors the fix at ~ current + (z − delayed) ≈ 2.0 + 0.05
+    np.testing.assert_allclose(float(state2.mu.position[0]), 2.05, atol=0.05)
+    # beyond the buffer horizon: untouched
+    state3, info3, found3 = pukf.update_delayed_position_buffered(
+        state, params, buf, ts, z, jnp.eye(2) * 0.01, 100.0
+    )
+    assert not bool(found3)
+    np.testing.assert_allclose(
+        np.asarray(state3.mu.position), np.asarray(state.mu.position), atol=0
+    )
+
+
+def test_pose_delayed_augmented_update():
+    state, params = pose_filter(imu_in_nwu_pos_cov=jnp.eye(3) * 1.0)
+    state = state._replace(mu=state.mu._replace(position=jnp.array([2.0, 0.0, 0.0])))
+    z = jnp.array([1.2, 0.1])  # delayed fix
+    delayed_pos = jnp.array([1.0, 0.0])  # where we believed we were then
+    state2, info = pukf.update_delayed_position_with_augmentation(
+        state, params, z, jnp.eye(2) * 0.01, delayed_pos, jnp.eye(2) * 0.04
+    )
+    assert state2.cov.shape == (53, 53)
+    # correction direction: fix says we were 0.2 further along x
+    assert float(state2.mu.position[0]) > 2.0
+    # with large delayed-position uncertainty the correction shrinks
+    state3, _ = pukf.update_delayed_position_with_augmentation(
+        state, params, z, jnp.eye(2) * 0.01, delayed_pos, jnp.eye(2) * 100.0
+    )
+    assert abs(float(state3.mu.position[0]) - 2.0) < abs(float(state2.mu.position[0]) - 2.0)
+
+
+def test_metrics():
+    S = jnp.eye(2) * 4.0
+    nu = jnp.array([2.0, 0.0])
+    np.testing.assert_allclose(float(metrics.nis(nu, S)), 1.0)
+    P = jnp.diag(jnp.array([1.0, 4.0]))
+    np.testing.assert_allclose(float(metrics.nees(jnp.array([1.0, 2.0]), P)), 2.0)
+    np.testing.assert_allclose(float(metrics.covariance_condition(P)), 4.0)
+    est = jnp.zeros((10, 3))
+    tru = jnp.ones((10, 3))
+    np.testing.assert_allclose(float(metrics.ate_rmse(est, tru)), np.sqrt(3.0))
+    q1 = mf.quat_exp(jnp.array([0.0, 0.0, 0.3]))
+    q2 = mf.quat_identity()
+    np.testing.assert_allclose(float(metrics.heading_error(q1, q2)), 0.3, atol=1e-12)
