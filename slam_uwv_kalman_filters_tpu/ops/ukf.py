@@ -117,11 +117,15 @@ def predict(
     """
     if mean_tol is None:
         mean_tol = _default_tol(cov.dtype)
-    X = sigma_points(manifold, mu, cov, jitter=jitter)
-    Y = jax.vmap(f)(X)
-    mu_y = manifold.mean(Y, max_iters=mean_iters, tol=mean_tol)
-    D = jax.vmap(lambda y: manifold.boxminus(y, mu_y))(Y)  # (2n+1, n)
-    cov_y = 0.5 * (D.T @ D) + process_noise
+    with jax.named_scope("ukf_sigma_points"):
+        X = sigma_points(manifold, mu, cov, jitter=jitter)
+    with jax.named_scope("ukf_propagate"):
+        Y = jax.vmap(f)(X)
+    with jax.named_scope("ukf_mean"):
+        mu_y = manifold.mean(Y, max_iters=mean_iters, tol=mean_tol)
+    with jax.named_scope("ukf_cov_reconstruct"):
+        D = jax.vmap(lambda y: manifold.boxminus(y, mu_y))(Y)  # (2n+1, n)
+        cov_y = 0.5 * (D.T @ D) + process_noise
     return mu_y, _symmetrize(cov_y)
 
 

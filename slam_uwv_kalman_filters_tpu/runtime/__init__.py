@@ -1,0 +1,204 @@
+"""Native host-side runtime bindings (ctypes over ``runtime/libuwv_runtime.so``).
+
+The C++ runtime (``runtime/src/uwv_runtime.cpp``) provides:
+
+* :func:`pack_schedule` — the irregular-event-stream → dense-tick-schedule
+  packer feeding ``models/pose_driver.py`` (latest-wins per cell, µs ticks);
+* :func:`forward_fill` — input-sensor semantics (gyro/effort caches hold the
+  last value, ``src/PoseUKF.cpp:492-496``);
+* :class:`NativeDelayedStates` — ``pose_estimation::DelayedStates<T>`` for
+  host-side out-of-sequence bookkeeping (the jit-safe device version lives in
+  ``utils/delayed_states.py``).
+
+The library is built on demand with ``make -C runtime`` (:func:`build`); if
+no compiler is available every entry point falls back to an equivalent NumPy
+implementation, so the Python API never hard-depends on the native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "build",
+    "native_available",
+    "pack_schedule",
+    "forward_fill",
+    "NativeDelayedStates",
+]
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_RUNTIME_DIR = _REPO_ROOT / "runtime"
+_LIB_PATH = _RUNTIME_DIR / "libuwv_runtime.so"
+_lib: Optional[ctypes.CDLL] = None
+
+
+def build(force: bool = False) -> bool:
+    """Compile the native runtime (no-op if already built)."""
+    if _LIB_PATH.exists() and not force:
+        return True
+    try:
+        subprocess.run(["make", "-C", str(_RUNTIME_DIR)], check=True, capture_output=True)
+        return _LIB_PATH.exists()
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and not build():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    i64, i32, f64p, u8p = (
+        ctypes.c_int64,
+        ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+    )
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.uwv_pack_schedule.restype = i64
+    lib.uwv_pack_schedule.argtypes = [
+        i64p, i32p, f64p, i64, i32, i32p, i32, i64, i64, i64, f64p, u8p,
+    ]
+    lib.uwv_forward_fill.restype = None
+    lib.uwv_forward_fill.argtypes = [f64p, u8p, i64, i32, f64p]
+    lib.uwv_delayed_states_new.restype = ctypes.c_void_p
+    lib.uwv_delayed_states_new.argtypes = [i64, i32, ctypes.c_double]
+    lib.uwv_delayed_states_free.argtypes = [ctypes.c_void_p]
+    lib.uwv_delayed_states_push.argtypes = [ctypes.c_void_p, i64, f64p, f64p]
+    lib.uwv_delayed_states_closest.restype = i32
+    lib.uwv_delayed_states_closest.argtypes = [ctypes.c_void_p, i64, f64p, f64p]
+    lib.uwv_from_seconds.restype = i64
+    lib.uwv_from_seconds.argtypes = [ctypes.c_double]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def pack_schedule(
+    timestamps_us: np.ndarray,
+    sensor_ids: np.ndarray,
+    payloads: np.ndarray,
+    sensor_dims: np.ndarray,
+    t0_us: int,
+    dt_us: int,
+    n_ticks: int,
+):
+    """Pack an irregular event stream into dense per-sensor tick arrays.
+
+    Returns (values [n_sensors, n_ticks, stride], valid [n_sensors, n_ticks],
+    dropped-count). Latest event per (sensor, tick) cell wins.
+    """
+    timestamps_us = np.ascontiguousarray(timestamps_us, np.int64)
+    sensor_ids = np.ascontiguousarray(sensor_ids, np.int32)
+    payloads = np.ascontiguousarray(payloads, np.float64)
+    sensor_dims = np.ascontiguousarray(sensor_dims, np.int32)
+    n_sensors = len(sensor_dims)
+    stride = payloads.shape[1] if payloads.ndim == 2 else 1
+    payloads = payloads.reshape(len(timestamps_us), stride)
+
+    lib = _load()
+    values = np.zeros((n_sensors, n_ticks, stride), np.float64)
+    valid = np.zeros((n_sensors, n_ticks), np.uint8)
+    if lib is not None:
+        dropped = lib.uwv_pack_schedule(
+            timestamps_us, sensor_ids, payloads, len(timestamps_us),
+            stride, sensor_dims, n_sensors, t0_us, dt_us, n_ticks,
+            values.reshape(-1), valid.reshape(-1),
+        )
+        return values, valid.astype(bool), int(dropped)
+
+    # NumPy fallback — identical latest-wins semantics
+    dropped = 0
+    winner = np.full((n_sensors, n_ticks), np.iinfo(np.int64).min, np.int64)
+    for e in range(len(timestamps_us)):
+        sid = int(sensor_ids[e])
+        if not (0 <= sid < n_sensors):
+            dropped += 1
+            continue
+        rel = int(timestamps_us[e]) - t0_us
+        if rel < 0 or rel // dt_us >= n_ticks:
+            dropped += 1
+            continue
+        tick = rel // dt_us
+        if timestamps_us[e] < winner[sid, tick]:
+            continue
+        winner[sid, tick] = timestamps_us[e]
+        d = int(sensor_dims[sid])
+        values[sid, tick, :d] = payloads[e, :d]
+        valid[sid, tick] = 1
+    return values, valid.astype(bool), dropped
+
+
+def forward_fill(values: np.ndarray, valid: np.ndarray, initial: np.ndarray):
+    """Input-sensor semantics: every tick carries the last received value."""
+    values = np.ascontiguousarray(values, np.float64)
+    valid_u8 = np.ascontiguousarray(valid, np.uint8)
+    initial = np.ascontiguousarray(initial, np.float64)
+    lib = _load()
+    if lib is not None:
+        lib.uwv_forward_fill(values, valid_u8, values.shape[0], values.shape[1], initial)
+        return values, valid_u8.astype(bool)
+    last = initial.copy()
+    for t in range(values.shape[0]):
+        if valid_u8[t]:
+            last = values[t, : len(last)].copy()
+        else:
+            values[t, : len(last)] = last
+            valid_u8[t] = 1
+    return values, valid_u8.astype(bool)
+
+
+class NativeDelayedStates:
+    """ctypes handle over the C++ DelayedStates ring buffer; NumPy fallback
+    delegates to ``utils.delayed_states`` semantics."""
+
+    def __init__(self, capacity: int, dim: int, maximum_delay_s: float):
+        self._dim = dim
+        self._lib = _load()
+        if self._lib is not None:
+            self._h = self._lib.uwv_delayed_states_new(capacity, dim, maximum_delay_s)
+        else:  # pure-python fallback
+            self._h = None
+            self._cap = capacity
+            self._max_us = int(abs(maximum_delay_s) * 1e6)
+            self._entries: list = []
+
+    def push(self, ts_us: int, value, cov) -> None:
+        value = np.ascontiguousarray(value, np.float64)
+        cov = np.ascontiguousarray(cov, np.float64)
+        if self._h is not None:
+            self._lib.uwv_delayed_states_push(self._h, int(ts_us), value, cov)
+        else:
+            self._entries.append((int(ts_us), value.copy(), cov.copy()))
+            if len(self._entries) > self._cap:
+                self._entries.pop(0)
+
+    def closest(self, ts_us: int):
+        """→ (value, cov, found)"""
+        if self._h is not None:
+            value = np.zeros(self._dim, np.float64)
+            cov = np.zeros((self._dim, self._dim), np.float64)
+            ok = self._lib.uwv_delayed_states_closest(self._h, int(ts_us), value, cov.reshape(-1))
+            return value, cov, bool(ok)
+        if not self._entries:
+            return np.zeros(self._dim), np.zeros((self._dim, self._dim)), False
+        best = min(self._entries, key=lambda e: abs(e[0] - ts_us))
+        found = abs(best[0] - ts_us) <= self._max_us
+        return best[1], best[2], found
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            self._lib.uwv_delayed_states_free(self._h)

@@ -1,3 +1,3 @@
-from . import config, delayed_states, metrics, validation
+from . import config, delayed_states, metrics, tracing, validation
 
-__all__ = ["config", "delayed_states", "metrics", "validation"]
+__all__ = ["config", "delayed_states", "metrics", "tracing", "validation"]

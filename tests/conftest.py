@@ -20,3 +20,8 @@ import jax
 # so re-pin the config itself. Tests are CPU-only by design (f64 oracles).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite is compile-bound (many 53-DOF jit
+# shapes); caching makes reruns start ~10x faster.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,135 @@
+"""Native runtime tests: C++ event packer and DelayedStates bindings (with
+NumPy-fallback parity), and the packer → PoseInputs → scan-driver seam."""
+
+import numpy as np
+import pytest
+
+from slam_uwv_kalman_filters_tpu import runtime as rt
+
+
+def make_stream(rng):
+    ts, sid, pay = [], [], []
+    for k in range(200):  # 100 Hz gyro with jitter
+        ts.append(k * 10_000 + int(rng.integers(-400, 400)))
+        sid.append(0)
+        pay.append(np.r_[rng.normal(0, 1, 3), 0, 0, 0])
+    for k in range(10):  # 5 Hz DVL
+        ts.append(k * 200_000)
+        sid.append(1)
+        pay.append(np.r_[1.0, 2.0, 3.0, 0, 0, 0])
+    for k in range(4):  # 2 Hz pressure
+        ts.append(k * 500_000)
+        sid.append(2)
+        pay.append(np.r_[101325.0, 0, 0, 0, 0, 0])
+    return np.array(ts), np.array(sid, np.int32), np.array(pay)
+
+
+def test_pack_schedule_native():
+    assert rt.build(), "native runtime must compile in this image"
+    rng = np.random.default_rng(5)
+    ts, sid, pay = make_stream(rng)
+    perm = rng.permutation(len(ts))  # out-of-order delivery
+    vals, valid, dropped = rt.pack_schedule(
+        ts[perm], sid[perm], pay[perm], np.array([3, 3, 1]), 0, 10_000, 200
+    )
+    assert dropped == 0
+    assert vals.shape == (3, 200, 6)
+    assert valid[1].sum() == 10 and valid[2].sum() == 4
+    np.testing.assert_allclose(vals[1, 20, :3], [1.0, 2.0, 3.0])
+    # event outside the horizon is dropped and counted
+    _, _, d2 = rt.pack_schedule(
+        np.array([99_000_000_000]), np.array([0], np.int32), np.zeros((1, 6)),
+        np.array([3, 3, 1]), 0, 10_000, 200,
+    )
+    assert d2 == 1
+
+
+def test_pack_schedule_latest_wins():
+    # two DVL events land in the same tick; the later timestamp must win even
+    # when delivered first
+    ts = np.array([5_000, 2_000])
+    sid = np.array([0, 0], np.int32)
+    pay = np.array([[10.0, 0, 0], [20.0, 0, 0]])
+    vals, valid, dropped = rt.pack_schedule(ts, sid, pay, np.array([3]), 0, 10_000, 1)
+    assert valid[0, 0] and dropped == 0
+    np.testing.assert_allclose(vals[0, 0, :1], [10.0])  # ts=5000 is later
+
+
+def test_native_matches_numpy_fallback(monkeypatch):
+    rng = np.random.default_rng(7)
+    ts, sid, pay = make_stream(rng)
+    v1, f1, d1 = rt.pack_schedule(ts, sid, pay, np.array([3, 3, 1]), 0, 10_000, 200)
+    # force the NumPy fallback
+    monkeypatch.setattr(rt, "_load", lambda: None)
+    v2, f2, d2 = rt.pack_schedule(ts, sid, pay, np.array([3, 3, 1]), 0, 10_000, 200)
+    np.testing.assert_allclose(v1, v2)
+    np.testing.assert_array_equal(f1, f2)
+    assert d1 == d2
+
+
+def test_forward_fill_semantics():
+    vals = np.zeros((5, 3))
+    valid = np.array([0, 1, 0, 0, 1], np.uint8)
+    vals[1] = [1.0, 2.0, 3.0]
+    vals[4] = [9.0, 9.0, 9.0]
+    out, f = rt.forward_fill(vals, valid, np.array([-1.0, -1.0, -1.0]))
+    assert f.all()
+    np.testing.assert_allclose(out[0], [-1, -1, -1])  # initial value
+    np.testing.assert_allclose(out[2], [1, 2, 3])  # carried forward
+    np.testing.assert_allclose(out[4], [9, 9, 9])  # fresh event kept
+
+
+def test_native_delayed_states_matches_jit_buffer():
+    """C++ buffer and the jit-safe device buffer agree on lookups."""
+    import jax.numpy as jnp
+
+    from slam_uwv_kalman_filters_tpu.utils import delayed_states as ds
+
+    nb = rt.NativeDelayedStates(8, 2, 1.0)
+    jb = ds.make_buffer(8, 2, 1.0)
+    for k in range(12):
+        ts = k * 100_000
+        v = np.array([float(k), -float(k)])
+        c = np.eye(2) * (k + 1)
+        nb.push(ts, v, c)
+        jb = ds.push(jb, jnp.asarray(ts, jnp.int64), jnp.asarray(v), jnp.asarray(c))
+    for q in [450_000, 900_000, 1_150_000]:
+        v1, c1, f1 = nb.closest(q)
+        v2, c2, f2 = ds.closest(jb, jnp.asarray(q, jnp.int64))
+        assert bool(f1) == bool(f2)
+        np.testing.assert_allclose(v1, np.asarray(v2))
+    # horizon behavior identical
+    _, _, f1 = nb.closest(99_000_000)
+    _, _, f2 = ds.closest(jb, jnp.asarray(99_000_000, jnp.int64))
+    assert not f1 and not bool(f2)
+
+
+def test_packer_feeds_pose_driver():
+    """End-to-end seam: native packer output → make_inputs → one driver tick."""
+    import jax.numpy as jnp
+
+    from slam_uwv_kalman_filters_tpu.models import pose_driver as drv
+    from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
+    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
+    from slam_uwv_kalman_filters_tpu.ops import manifolds as mf
+    from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
+
+    rng = np.random.default_rng(9)
+    ts, sid, pay = make_stream(rng)
+    vals, valid, _ = rt.pack_schedule(ts, sid, pay, np.array([3, 3, 1]), 0, 10_000, 200)
+    gyro, _ = rt.forward_fill(vals[0, :, :3].copy(), valid[0].astype(np.uint8).copy(), np.zeros(3))
+
+    inputs = drv.make_inputs(
+        200, 0.01, gyro,
+        dvl=vals[1, :, :3], dvl_cov=np.eye(3) * 1e-3, dvl_valid=valid[1],
+        pressure=vals[2, :, :1], pressure_cov=np.eye(1) * 1e4, pressure_valid=valid[2],
+    )
+    state, params = pukf.init_from_pose(
+        jnp.zeros(3), jnp.eye(3) * 0.01, mf.quat_identity(), jnp.eye(3) * 1e-4,
+        default_pose_ukf_config(), dyn.default_uwv_parameters(),
+    )
+    import jax
+
+    one = jax.tree_util.tree_map(lambda a: a[0], inputs)
+    state2, out = drv.pose_step(state, params, one)
+    assert np.isfinite(float(out.cov_trace))

@@ -1,0 +1,207 @@
+"""ICRA'18-style model-aided inertial localization run (BASELINE configs[3]):
+synthetic ground truth with earth-rate-aware IMU, DVL, pressure and ADCP
+streams replayed through the scan driver; asserts the ATE bound and filter
+consistency. This is the acceptance scenario of BASELINE.md."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_uwv_kalman_filters_tpu.models import pose_driver as drv
+from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
+from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
+from slam_uwv_kalman_filters_tpu.ops import geodesy as geo
+from slam_uwv_kalman_filters_tpu.ops import manifolds as mf
+from slam_uwv_kalman_filters_tpu.utils import metrics
+from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
+
+CFG = default_pose_ukf_config()
+MODEL = dyn.default_uwv_parameters()
+RNG = np.random.default_rng(99)
+
+
+def simulate_truth(T, dt):
+    """Lawnmower-ish survey: surge at 1 m/s with yaw-rate segments at constant
+    depth. Returns nav-frame truth + ideal sensor streams (f64 NumPy)."""
+    lat0 = CFG.location.latitude
+    g = float(geo.wgs84_gravity(lat0, CFG.location.altitude))
+    proj_m = float(geo.make_projection(lat0, CFG.location.longitude).m_rad)
+
+    pos = np.zeros((T + 1, 3))
+    pos[0] = [0.0, 0.0, -5.0]
+    q = np.zeros((T + 1, 4))
+    q[0] = [1.0, 0, 0, 0]
+    vel = np.zeros((T + 1, 3))
+    acc = np.zeros((T, 3))
+    gyro = np.zeros((T, 3))
+    accel_meas = np.zeros((T, 3))
+
+    surge = 1.0
+    import oracle as orc
+
+    for k in range(T):
+        t = k * dt
+        yaw_rate = 0.15 if (t % 40.0) < 8.0 else 0.0
+        R = orc.q_to_mat(q[k])
+        v_body = np.array([surge, 0.0, 0.0])
+        vel[k] = R @ v_body
+        # nav-frame acceleration from rotating body velocity: a = ω×v
+        w_nav = np.array([0.0, 0.0, yaw_rate])
+        acc[k] = np.cross(w_nav, vel[k])
+        # truth propagation (same integrator family as the filter)
+        pos[k + 1] = pos[k] + dt * vel[k]
+        q[k + 1] = orc.so3_boxplus(q[k], w_nav, dt)
+        vel[k + 1] = vel[k] + dt * acc[k]
+
+        # ideal gyro: body rate + earth rate (the FOG senses earth rotation)
+        lat = lat0 + pos[k][0] / proj_m
+        w_e = geo.EARTHW * np.array([np.cos(lat), 0.0, np.sin(lat)])
+        gyro[k] = R.T @ (w_nav + w_e)
+        # ideal accelerometer: specific force in body frame
+        accel_meas[k] = R.T @ (acc[k] + np.array([0.0, 0.0, g]))
+
+    return dict(pos=pos, q=q, vel=vel, gyro=gyro, accel=accel_meas, g=g)
+
+
+def test_icra18_style_trajectory_ate():
+    T = 1500  # 15 s at 100 Hz — enough for two turn segments
+    dt = 0.01
+    truth = simulate_truth(T, dt)
+
+    # noisy sensors
+    gyro_n = truth["gyro"] + RNG.normal(0, 3e-5, (T, 3))
+    acc_n = truth["accel"] + RNG.normal(0, 2e-3, (T, 3))
+    dvl_valid = (np.arange(T) % 20) == 19  # 5 Hz
+    rho = CFG.hydrostatics.water_density
+    p_atm = CFG.hydrostatics.atmospheric_pressure
+    dvl = np.zeros((T, 3))
+    for k in np.where(dvl_valid)[0]:
+        import oracle as orc
+
+        dvl[k] = orc.q_to_mat(truth["q"][k + 1]).T @ truth["vel"][k + 1] + RNG.normal(0, 0.01, 3)
+    press_valid = (np.arange(T) % 50) == 49  # 2 Hz
+    press = p_atm - truth["pos"][1:, 2:3] * truth["g"] * rho + RNG.normal(0, 50.0, (T, 1))
+    adcp_valid = (np.arange(T) % 100) == 99  # 1 Hz, zero currents in truth
+    adcp = np.zeros((T, 2))
+    for k in np.where(adcp_valid)[0]:
+        import oracle as orc
+
+        v_imu = orc.q_to_mat(truth["q"][k + 1]).T @ truth["vel"][k + 1]
+        adcp[k] = v_imu[:2] + RNG.normal(0, 0.02, 2)
+
+    inputs = drv.make_inputs(
+        T,
+        dt,
+        gyro_n,
+        acc=acc_n,
+        acc_cov=np.eye(3) * (2e-3) ** 2 * 10,
+        dvl=dvl,
+        dvl_cov=np.eye(3) * 1e-4,
+        dvl_valid=dvl_valid,
+        pressure=press,
+        pressure_cov=np.eye(1) * 50.0**2,
+        pressure_valid=press_valid,
+        adcp=adcp,
+        adcp_cov=np.eye(2) * 4e-4,
+        adcp_cell_weighting=np.full(T, 0.5),
+        adcp_valid=adcp_valid,
+    )
+
+    state, params = pukf.init_from_pose(
+        imu_in_nwu_pos=jnp.asarray(truth["pos"][0]),
+        imu_in_nwu_pos_cov=jnp.eye(3) * 0.01,
+        imu_in_nwu_rot=jnp.asarray(truth["q"][0]),
+        imu_in_nwu_rot_cov=jnp.eye(3) * 1e-4,
+        config=CFG,
+        model_parameters=MODEL,
+        imu_delta_t=dt,
+    )
+
+    run = jax.jit(drv.run_trajectory)
+    final, outs = run(state, params, inputs)
+
+    est = np.asarray(outs.position)
+    tru = truth["pos"][1:]
+    ate = float(metrics.ate_rmse(jnp.asarray(est), jnp.asarray(tru)))
+    final_err = np.linalg.norm(est[-1] - tru[-1])
+    heading_err = abs(
+        float(metrics.heading_error(outs.orientation[-1], jnp.asarray(truth["q"][-1])))
+    )
+
+    # BASELINE acceptance: model-aided inertial localization stays within a
+    # tight ATE bound with 5 Hz DVL + 2 Hz pressure aiding over 15 s
+    assert ate < 0.15, f"ATE {ate:.3f} m too large"
+    assert final_err < 0.3, f"final error {final_err:.3f} m"
+    assert heading_err < 0.02, f"heading error {heading_err:.4f} rad"
+    # velocity tracked through the turns
+    v_err = np.linalg.norm(np.asarray(outs.velocity) - truth["vel"][1:], axis=1)
+    assert float(np.median(v_err)) < 0.05
+    # covariance stayed finite and bounded
+    assert np.all(np.isfinite(np.asarray(outs.cov_trace)))
+
+
+def test_dvl_dropout_model_aiding():
+    """README.md:10 capability: with DVL dropout, the motion-model effort
+    measurement keeps velocity bounded vs. pure inertial drift."""
+    T = 800
+    dt = 0.01
+    truth = simulate_truth(T, dt)
+    gyro_n = truth["gyro"]
+    acc_n = truth["accel"] + RNG.normal(0, 2e-3, (T, 3))
+
+    # efforts consistent with steady surge: tau = D_lin v + D_quad |v|v
+    tau = np.zeros((T, 6))
+    import oracle as orc
+
+    for k in range(T):
+        R = orc.q_to_mat(truth["q"][k])
+        vb = R.T @ truth["vel"][k]
+        w_nav_z = 0.15 if ((k * dt) % 40.0) < 8.0 else 0.0
+        vel6 = np.concatenate([vb, R.T @ np.array([0, 0, w_nav_z])])
+        acc6 = np.concatenate([R.T @ truth["accel"][k] - R.T @ np.array([0, 0, truth["g"]]), np.zeros(3)])
+        tau[k] = orc.oracle_calc_efforts(
+            np.asarray(MODEL.inertia_matrix),
+            np.asarray(MODEL.damping_linear),
+            np.asarray(MODEL.damping_quadratic),
+            float(MODEL.weight),
+            float(MODEL.buoyancy),
+            np.asarray(MODEL.cog),
+            np.asarray(MODEL.cob),
+            acc6,
+            vel6,
+            truth["q"][k],
+        )
+
+    # DVL only for the first 2 s, then dropout; efforts at 10 Hz throughout
+    dvl_valid = ((np.arange(T) % 20) == 19) & (np.arange(T) < 200)
+    dvl = np.zeros((T, 3))
+    for k in np.where(dvl_valid)[0]:
+        dvl[k] = orc.q_to_mat(truth["q"][k + 1]).T @ truth["vel"][k + 1]
+    eff_valid = (np.arange(T) % 10) == 9
+
+    inputs = drv.make_inputs(
+        T,
+        dt,
+        gyro_n,
+        acc=acc_n,
+        acc_cov=np.eye(3) * 4e-5,
+        dvl=dvl,
+        dvl_cov=np.eye(3) * 1e-4,
+        dvl_valid=dvl_valid,
+        efforts=tau,
+        efforts_cov=np.diag(np.asarray(CFG.model_noise_parameters.body_efforts_std) ** 2),
+        efforts_valid=eff_valid,
+    )
+    state, params = pukf.init_from_pose(
+        imu_in_nwu_pos=jnp.asarray(truth["pos"][0]),
+        imu_in_nwu_pos_cov=jnp.eye(3) * 0.01,
+        imu_in_nwu_rot=jnp.asarray(truth["q"][0]),
+        imu_in_nwu_rot_cov=jnp.eye(3) * 1e-6,
+        config=CFG,
+        model_parameters=MODEL,
+        imu_delta_t=dt,
+    )
+    final, outs = jax.jit(drv.run_trajectory)(state, params, inputs)
+    v_err_end = np.linalg.norm(np.asarray(outs.velocity[-1]) - truth["vel"][-1])
+    # model aiding keeps velocity error bounded through 6 s of DVL dropout
+    assert v_err_end < 0.2, f"velocity drift {v_err_end:.3f} m/s despite model aiding"
