@@ -158,7 +158,11 @@ def test_dvl_dropout_model_aiding():
         vb = R.T @ truth["vel"][k]
         w_nav_z = 0.15 if ((k * dt) % 40.0) < 8.0 else 0.0
         vel6 = np.concatenate([vb, R.T @ np.array([0, 0, w_nav_z])])
-        acc6 = np.concatenate([R.T @ truth["accel"][k] - R.T @ np.array([0, 0, truth["g"]]), np.zeros(3)])
+        # truth["accel"] is the body-frame specific force R⁻¹(a+[0,0,g]);
+        # the effort model wants body-frame acceleration R⁻¹a
+        acc6 = np.concatenate(
+            [truth["accel"][k] - R.T @ np.array([0, 0, truth["g"]]), np.zeros(3)]
+        )
         tau[k] = orc.oracle_calc_efforts(
             np.asarray(MODEL.inertia_matrix),
             np.asarray(MODEL.damping_linear),
