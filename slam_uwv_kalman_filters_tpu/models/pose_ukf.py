@@ -906,9 +906,6 @@ class PoseUKF:
             process_noise=process_noise_from_config(config, imu_delta_t, imu_in_body_rot)
         )
 
-    def prediction_step(self, dt: float) -> None:
-        self.state = predict(self.state, self.params, dt)
-
     def _upd(self, fn, mu, cov, *args, **kw) -> ukf.UpdateInfo:
         check_measurement(mu, cov)
         self.state, info = fn(self.state, self.params, jnp.asarray(mu), jnp.asarray(cov), *args, **kw)
@@ -980,6 +977,52 @@ class PoseUKF:
             jnp.asarray(camera_in_imu_orientation),
         )
         return info
+
+    def setup_delayed_state_buffer(self, maximum_delay: float, capacity: int = 256) -> None:
+        """``setupDelayedStateBuffer`` (``src/PoseUKF.hpp:130-133``): allocate
+        the XY delayed-state ring buffer; prediction_step then records the
+        position block each tick (``src/PoseUKF.cpp:467-473``)."""
+        self._delayed_buffer = delayed_states.make_buffer(
+            capacity, 2, maximum_delay, dtype=self.state.cov.dtype
+        )
+        self._filter_ts = jnp.zeros((), jnp.int64)
+
+    def prediction_step(self, dt: float) -> None:
+        self.state = predict(self.state, self.params, dt)
+        if getattr(self, "_delayed_buffer", None) is not None:
+            self._filter_ts = self._filter_ts + delayed_states.from_seconds(dt)
+            self._delayed_buffer = push_delayed_state(
+                self._delayed_buffer, self.state, self._filter_ts
+            )
+
+    def integrate_delayed_measurement(self, mu, cov, delay: float) -> bool:
+        """``integrateDelayedMeasurement`` (``src/PoseUKF.cpp:656-683``):
+        out-of-sequence XY fix through the delayed-state buffer; returns False
+        when the delay exceeds the buffer horizon."""
+        if getattr(self, "_delayed_buffer", None) is None:
+            raise RuntimeError("setup_delayed_state_buffer was not called")
+        check_measurement(mu, cov)
+        self.state, info, found = update_delayed_position_buffered(
+            self.state,
+            self.params,
+            self._delayed_buffer,
+            self._filter_ts,
+            jnp.asarray(mu),
+            jnp.asarray(cov),
+            delay,
+        )
+        return bool(found)
+
+    def integrate_delayed_position_with_augmentation(
+        self, mu, cov, delayed_position, cov_delayed_position
+    ):
+        return self._upd(
+            update_delayed_position_with_augmentation,
+            mu,
+            cov,
+            jnp.asarray(delayed_position),
+            jnp.asarray(cov_delayed_position),
+        )
 
     def reset_filter_with_external_pose(self, position, orientation):
         self.state = reset_with_external_pose(

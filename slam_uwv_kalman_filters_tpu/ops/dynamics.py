@@ -34,6 +34,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .linalg_small import solve_spd
 from .manifolds import quat_rotate, quat_rotate_inv, so3_boxplus
 
 __all__ = [
@@ -163,7 +164,9 @@ def calc_acceleration(
         - damping_effort(params, velocity)
         - gravity_buoyancy_effort(params, orientation)
     )
-    return jnp.linalg.solve(params.inertia_matrix, rhs)
+    # Fossen M = M_RB + M_A is SPD, so the 6×6 solve unrolls into fused FMAs
+    # (ops/linalg_small.py) instead of a TPU LU/triangular-solve kernel.
+    return solve_spd(params.inertia_matrix, rhs)
 
 
 def simulate_effort(

@@ -33,6 +33,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from .linalg_small import solve_spd
 from .manifolds import ProductManifold
 
 __all__ = [
@@ -176,9 +177,13 @@ def update(
     S = _symmetrize(S)
     C = 0.5 * (deltas.T @ dZ)  # (n, m) cross-covariance
 
-    S_chol = jax.scipy.linalg.cho_factor(S, lower=True)
-    K = jax.scipy.linalg.cho_solve(S_chol, C.T).T  # K = C S⁻¹
-    m2 = innovation @ jax.scipy.linalg.cho_solve(S_chol, innovation)
+    # one unrolled SPD solve shared by the gain and the Mahalanobis distance
+    # (TPU triangular-solve kernels are ruinously slow at these sizes — see
+    # ops/linalg_small.py)
+    rhs = jnp.concatenate([C.T, innovation[:, None]], axis=1)  # (m, n+1)
+    sol = solve_spd(S, rhs)
+    K = sol[:, :-1].T  # K = C S⁻¹
+    m2 = innovation @ sol[:, -1]
 
     accepted = (
         jnp.asarray(True)
