@@ -83,7 +83,10 @@ def bench_tpu_bank(state, step, bank_n, iters, dtype):
 
 
 def bench_cpu_single(iters=200):
-    """Single-instance f64 rate on one CPU core — the C++-semantics stand-in."""
+    """Single-instance rate on one CPU core — the C++-semantics stand-in
+    (XLA-CPU scalar code ≈ Eigen codegen). Requests f64; falls back to f32
+    when x64 is disabled in-process, which only makes the baseline FASTER,
+    i.e. vs_baseline conservative."""
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         state, params, step = build_step(jnp.float64)
@@ -117,7 +120,7 @@ def main():
 
     try:
         baseline = bench_cpu_single()
-        _log(f"single-instance CPU f64 baseline: {baseline:.0f} steps/s")
+        _log(f"single-instance CPU baseline: {baseline:.0f} steps/s")
         vs_baseline = value / baseline
     except Exception as e:  # CPU backend unavailable — report raw throughput
         _log(f"baseline measurement failed: {e}")

@@ -33,6 +33,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from .kernels import cholesky_fast
 from .linalg_small import solve_spd
 from .manifolds import ProductManifold
 
@@ -71,7 +72,9 @@ def _default_tol(dtype) -> float:
 def _chol(cov: jax.Array, jitter: float) -> jax.Array:
     if jitter:
         cov = cov + jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype)
-    return jnp.linalg.cholesky(cov)
+    # bank-aware cholesky: under vmap the whole bank goes through one Pallas
+    # kernel launch on TPU (ops/kernels.py) — this is ~75% of the step cost.
+    return cholesky_fast(cov)
 
 
 def sigma_point_deltas(cov: jax.Array, *, jitter: float = 0.0) -> jax.Array:
