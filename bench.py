@@ -35,7 +35,73 @@ def _log(*a):
     print(*a, file=sys.stderr)
 
 
-def build_step(dtype):
+def build_step(dtype, scenario: str = "pose"):
+    if scenario == "pose":
+        return _build_pose_step(dtype)
+    if scenario == "velocity":
+        return _build_velocity_step(dtype)
+    if scenario == "bottom":
+        return _build_bottom_step(dtype)
+    if scenario == "indirect":
+        return _build_indirect_step(dtype)
+    raise ValueError(f"unknown BENCH_SCENARIO {scenario!r}")
+
+
+def _build_velocity_step(dtype):
+    """BASELINE configs[0]: VelocityUKF with thruster efforts + DVL."""
+    import jax.numpy as jnp
+
+    from slam_uwv_kalman_filters_tpu.models import velocity_ukf as vukf
+    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
+
+    mu = vukf.VelocityState(velocity=jnp.zeros(3, dtype), z_position=jnp.zeros(1, dtype))
+    state, params = vukf.init(mu, jnp.eye(4, dtype=dtype) * 0.1, dyn.default_uwv_parameters(dtype))
+    state = vukf.integrate_body_efforts(state, jnp.array([60.0, 0, 0, 0, 0, 1.0], dtype))
+
+    def step(s, z, r):
+        s = vukf.predict(s, params, 0.05)
+        s, _ = vukf.update_dvl(s, z, r)
+        return s
+
+    return state, params, step
+
+
+def _build_bottom_step(dtype):
+    """BASELINE configs[1]: BottomUKF DVL bottom-range tracking."""
+    import jax.numpy as jnp
+
+    from slam_uwv_kalman_filters_tpu.models import bottom_ukf as bukf
+
+    mu = bukf.BottomState(distance=jnp.array([10.0], dtype), normal=jnp.array([0.0, 0.0, 1.0], dtype))
+    state, params = bukf.init(mu, jnp.diag(jnp.array([1.0, 0.05, 0.05], dtype)))
+    state = bukf.set_velocity(state, jnp.array([0.5, 0.0, -0.1], dtype))
+    beam = jnp.array([0.0, 0.0, -1.0], dtype)
+    origin = jnp.zeros(3, dtype)
+
+    def step(s, z, r):
+        s = bukf.predict(s, params, 0.1)
+        s, _ = bukf.update_range(s, z[:1], r[:1, :1], beam, origin)
+        return s
+
+    return state, params, step
+
+
+def _build_indirect_step(dtype):
+    """BASELINE configs[2]: IndirectPoseUKF error-state filter."""
+    import jax.numpy as jnp
+
+    from slam_uwv_kalman_filters_tpu.models import indirect_pose_ukf as ipu
+
+    state, params = ipu.init((0.05,) * 3, (0.02,) * 3, 30.0, dtype=dtype)
+
+    def step(s, z, r):
+        s = ipu.predict(s, params, 0.1)
+        return s
+
+    return state, params, step
+
+
+def _build_pose_step(dtype):
     from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
     from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
     from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
@@ -82,14 +148,14 @@ def bench_tpu_bank(state, step, bank_n, iters, dtype):
     return bank_n * iters / dt
 
 
-def bench_cpu_single(iters=200):
+def bench_cpu_single(scenario="pose", iters=200):
     """Single-instance rate on one CPU core — the C++-semantics stand-in
     (XLA-CPU scalar code ≈ Eigen codegen). Requests f64; falls back to f32
     when x64 is disabled in-process, which only makes the baseline FASTER,
     i.e. vs_baseline conservative."""
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        state, params, step = build_step(jnp.float64)
+        state, params, step = build_step(jnp.float64, scenario)
         z = jnp.array([0.3, 0.0, 0.0], jnp.float64)
         r = jnp.eye(3, dtype=jnp.float64) * 1e-3
         jstep = jax.jit(step)
@@ -104,6 +170,7 @@ def bench_cpu_single(iters=200):
 def main():
     bank_n = int(os.environ.get("BENCH_BANK", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
+    scenario = os.environ.get("BENCH_SCENARIO", "pose")
     backend = jax.default_backend()
     # f64 is CPU-only on this stack; TPU runs the f32 throughput path.
     dtype = jnp.float64 if backend == "cpu" else jnp.float32
@@ -111,15 +178,18 @@ def main():
         os.environ.get("BENCH_DTYPE", ""), dtype
     )
 
-    _log(f"backend={backend} bank={bank_n} iters={iters} dtype={jnp.dtype(dtype).name}")
-    state, params, step = build_step(dtype)
+    _log(
+        f"backend={backend} scenario={scenario} bank={bank_n} iters={iters} "
+        f"dtype={jnp.dtype(dtype).name}"
+    )
+    state, params, step = build_step(dtype, scenario)
 
     t0 = time.perf_counter()
     value = bench_tpu_bank(state, step, bank_n, iters, dtype)
     _log(f"batched: {value:.0f} steps/s (wall {time.perf_counter()-t0:.1f}s)")
 
     try:
-        baseline = bench_cpu_single()
+        baseline = bench_cpu_single(scenario)
         _log(f"single-instance CPU baseline: {baseline:.0f} steps/s")
         vs_baseline = value / baseline
     except Exception as e:  # CPU backend unavailable — report raw throughput
@@ -129,7 +199,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "pose_ukf_predict_update_steps_per_sec_per_chip",
+                "metric": f"{scenario}_ukf_predict_update_steps_per_sec_per_chip",
                 "value": round(value, 1),
                 "unit": "filter-steps/s",
                 "vs_baseline": round(vs_baseline, 2) if np.isfinite(vs_baseline) else None,

@@ -455,6 +455,27 @@ def make_manifold(*fields: Field) -> ProductManifold:
 # ---------------------------------------------------------------------------
 
 
+def quat_from_euler_zyx(roll, pitch, yaw) -> jax.Array:
+    """(roll, pitch, yaw) → quaternion, R = Rz(yaw)·Ry(pitch)·Rx(roll).
+
+    The intrinsic ZYX (yaw-pitch-roll) convention used by ROCK's base types
+    for e.g. ``VisualLandmark::marker_euler_orientation``
+    (``src/PoseUKFConfig.hpp:119-120``).
+    """
+    hr, hp, hy = 0.5 * jnp.asarray(roll), 0.5 * jnp.asarray(pitch), 0.5 * jnp.asarray(yaw)
+    cr, sr = jnp.cos(hr), jnp.sin(hr)
+    cp, sp = jnp.cos(hp), jnp.sin(hp)
+    cy, sy = jnp.cos(hy), jnp.sin(hy)
+    return jnp.stack(
+        [
+            cy * cp * cr + sy * sp * sr,
+            cy * cp * sr - sy * sp * cr,
+            cy * sp * cr + sy * cp * sr,
+            sy * cp * cr - cy * sp * sr,
+        ]
+    )
+
+
 def affine_mul(qa: jax.Array, pa: jax.Array, qb: jax.Array, pb: jax.Array):
     """(qa,pa) ∘ (qb,pb): compose rigid transforms a·b."""
     return quat_mul(qa, qb), pa + quat_rotate(qa, pb)

@@ -35,6 +35,11 @@ __all__ = [
     "HydrostaticConfiguration",
     "PoseUKFConfig",
     "default_pose_ukf_config",
+    "landmark_by_id",
+    "landmark_feature_positions",
+    "landmark_pose",
+    "landmark_pose_cov",
+    "feature_pixel_cov",
     "load_config",
     "save_config",
     "config_to_dict",
@@ -178,6 +183,46 @@ def default_pose_ukf_config() -> PoseUKFConfig:
 # ---------------------------------------------------------------------------
 # dict / file round-trips
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Visual-landmark helpers: turn the config schema into the arrays the marker
+# updates consume (reference semantics: unit feature positions are scaled by
+# half the marker size, PoseUKFConfig.hpp:139-140).
+# ---------------------------------------------------------------------------
+
+
+def landmark_by_id(cfg: VisualLandmarkConfiguration, marker_id: str) -> VisualLandmark:
+    for lm in cfg.landmarks:
+        if lm.marker_id == marker_id:
+            return lm
+    raise KeyError(f"unknown landmark {marker_id!r}")
+
+
+def landmark_feature_positions(cfg: VisualLandmarkConfiguration, landmark: VisualLandmark):
+    """(K,3) feature positions in the marker frame: unit positions × size/2."""
+    return np.asarray(cfg.unit_feature_positions, float) * (landmark.marker_size / 2.0)
+
+
+def landmark_pose(landmark: VisualLandmark):
+    """(position (3,), quaternion [w,x,y,z]) of the marker in the nav frame;
+    euler convention per ``ops.manifolds.quat_from_euler_zyx``."""
+    from ..ops.manifolds import quat_from_euler_zyx
+
+    r, p, y = landmark.marker_euler_orientation
+    return np.asarray(landmark.marker_position, float), np.asarray(
+        quat_from_euler_zyx(r, p, y)
+    )
+
+
+def landmark_pose_cov(landmark: VisualLandmark):
+    """(6,6) diagonal covariance from the configured pose std."""
+    return np.diag(np.asarray(landmark.marker_pose_std, float) ** 2)
+
+
+def feature_pixel_cov(cfg: VisualLandmarkConfiguration):
+    """(2,2) pixel covariance from the configured feature std."""
+    return np.diag(np.asarray(cfg.feature_std, float) ** 2)
 
 
 def config_to_dict(cfg) -> dict:
