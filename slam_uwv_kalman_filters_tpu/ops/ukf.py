@@ -61,6 +61,19 @@ class UpdateInfo(NamedTuple):
     innovation: jax.Array  # (m,) measurement-space innovation ν
 
 
+# All covariance-path matmuls run at HIGHEST precision: TPU matmul default is
+# bf16 multiplies (~4e-3 relative), and the P − K·S·Kᵀ update cancels ~1.0
+# against ~1.0 to recover a ~1e-4 posterior variance — bf16 error there flips
+# variances negative (observed on a v5e; CPU f32 is fine). These matmuls are a
+# small fraction of the step's MXU work, so the cost of the f32 passes is
+# negligible next to a NaN'd filter.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _mm(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.matmul(a, b, precision=_PREC)
+
+
 def _default_tol(dtype) -> float:
     """Manifold-mean convergence tolerance matched to the working precision:
     1e-12 for f64 oracle paths, 1e-6 for f32 TPU throughput paths (an f32
@@ -129,7 +142,7 @@ def predict(
         mu_y = manifold.mean(Y, max_iters=mean_iters, tol=mean_tol)
     with jax.named_scope("ukf_cov_reconstruct"):
         D = jax.vmap(lambda y: manifold.boxminus(y, mu_y))(Y)  # (2n+1, n)
-        cov_y = 0.5 * (D.T @ D) + process_noise
+        cov_y = 0.5 * _mm(D.T, D) + process_noise
     return mu_y, _symmetrize(cov_y)
 
 
@@ -176,9 +189,9 @@ def update(
         dZ = jax.vmap(lambda zi: meas_manifold.boxminus(zi, z_mean))(Z)
         innovation = meas_manifold.boxminus(z, z_mean)
 
-    S = 0.5 * (dZ.T @ dZ) + meas_cov
+    S = 0.5 * _mm(dZ.T, dZ) + meas_cov
     S = _symmetrize(S)
-    C = 0.5 * (deltas.T @ dZ)  # (n, m) cross-covariance
+    C = 0.5 * _mm(deltas.T, dZ)  # (n, m) cross-covariance
 
     # one unrolled SPD solve shared by the gain and the Mahalanobis distance
     # (TPU triangular-solve kernels are ruinously slow at these sizes — see
@@ -194,8 +207,8 @@ def update(
         else m2 <= jnp.asarray(gate_threshold, dtype=m2.dtype)
     )
 
-    mu_new = manifold.boxplus(mu, K @ innovation)
-    cov_new = _symmetrize(cov - K @ S @ K.T)
+    mu_new = manifold.boxplus(mu, _mm(K, innovation))
+    cov_new = _symmetrize(cov - _mm(_mm(K, S), K.T))
 
     # masked apply (no control-flow divergence across a vmapped bank)
     select = lambda a, b: jnp.where(accepted, a, b)
