@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
+    "init_multihost",
     "make_mesh",
     "bank_sharding",
     "shard_bank",
@@ -36,6 +37,28 @@ __all__ = [
 ]
 
 BANK_AXIS = "bank"
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join the multi-host process group — the TPU-native comm-backend
+    bootstrap (the NCCL/MPI-init analogue the reference never had, SURVEY.md
+    §2.4). On Cloud TPU pod slices all arguments are auto-detected from the
+    environment; on other clusters pass them explicitly. After this,
+    ``jax.devices()`` spans every chip in the slice, ``make_mesh()`` builds
+    the global 1-D bank mesh, and the per-host shard of a bank is addressed
+    with ``jax.process_index()``. Returns the process index. Idempotent."""
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        return jax.process_index()
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    except (ValueError, RuntimeError):
+        # single-process run (no coordinator detectable) — a 1-host "pod"
+        pass
+    return jax.process_index()
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = BANK_AXIS) -> Mesh:

@@ -131,3 +131,11 @@ def test_checkpoint_roundtrip():
         params,
     )
     np.testing.assert_allclose(np.asarray(resumed.cov), np.asarray(bstate.cov[0]), atol=0)
+
+
+def test_init_multihost_single_process():
+    """Single-process path: idempotent, returns process index 0."""
+    from slam_uwv_kalman_filters_tpu.parallel import sharding as shmod
+
+    assert shmod.init_multihost() == 0
+    assert shmod.init_multihost() == 0  # idempotent
