@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .linalg_small import UNROLL_LIMIT, cholesky_unrolled
 
-__all__ = ["cholesky_banked", "LANE_TILE"]
+__all__ = ["cholesky_banked", "sigma_deltas_banked", "sigma_deltas_fast", "LANE_TILE"]
 
 LANE_TILE = 128  # instances per lane group (hardware lane width)
 
@@ -84,6 +84,106 @@ def _cholesky_lanes(x_t: jax.Array, *, interpret: bool) -> jax.Array:
         out_specs=pl.BlockSpec((n, n, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x_t)
+
+
+def _sigma_deltas_kernel(a_ref, out_ref, s_ref):
+    """Fused equilibrated Cholesky → interleaved sigma-point deltas.
+
+    a_ref: raw covariance tile in (col, row, B) layout (B = lanes).
+    out_ref: (2n+1, n, B) ukfom-ordered tangent deltas — row 0 zero, rows
+    2j+1 / 2j+2 the ±j-th column of L = D·chol(D⁻¹·A·D⁻¹), D = √diag(A).
+    s_ref: (n, n, B) scratch holding the equilibrated Schur complement.
+
+    Fusing the diagonal equilibration, the factorization and the ±column
+    interleave into one kernel removes two full XLA passes over the bank and
+    the (bank, 2n, n) stack/reshape relayout that otherwise costs two
+    materializations of the delta tensor (~1.2 ms per 8192-bank call).
+    """
+    n, _, b = a_ref.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
+    tiny = jnp.asarray(jnp.finfo(a_ref.dtype).tiny, a_ref.dtype)
+    diag = jnp.concatenate([a_ref[j, j : j + 1, :] for j in range(n)], axis=0)  # (n,B)
+    dvec = jnp.sqrt(jnp.maximum(diag, tiny))
+    dinv = 1.0 / dvec
+    for j in range(n):
+        s_ref[j] = a_ref[j] * (dinv[j : j + 1, :] * dinv)
+    out_ref[0] = jnp.zeros((n, b), a_ref.dtype)
+    for j in range(n):
+        col = s_ref[j]  # (n, B) equilibrated column j, fully downdated
+        dj = jnp.sqrt(col[j : j + 1])
+        below = jnp.where(row > j, col * (1.0 / dj), jnp.zeros((), col.dtype))
+        final = jnp.where(row == j, dj, below) * dvec  # un-equilibrated L[:, j]
+        out_ref[2 * j + 1] = final
+        out_ref[2 * j + 2] = -final
+        if j + 1 < n:
+            s_ref[j + 1 :] = s_ref[j + 1 :] - below[j + 1 :][:, None, :] * below[None, :, :]
+
+
+def _sigma_deltas_lanes(x_t: jax.Array, *, interpret: bool) -> jax.Array:
+    """x_t: (n, n, N) col-major covariance, N a multiple of LANE_TILE →
+    (2n+1, n, N) interleaved deltas."""
+    n, _, nb = x_t.shape
+    return pl.pallas_call(
+        _sigma_deltas_kernel,
+        out_shape=jax.ShapeDtypeStruct((2 * n + 1, n, nb), x_t.dtype),
+        grid=(nb // LANE_TILE,),
+        in_specs=[pl.BlockSpec((n, n, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (2 * n + 1, n, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((n, n, LANE_TILE), x_t.dtype)],
+        interpret=interpret,
+    )(x_t)
+
+
+@partial(jax.jit, static_argnames=("force_pallas",))
+def sigma_deltas_banked(cov: jax.Array, force_pallas: bool = False) -> jax.Array:
+    """(N, n, n) SPD batch → (N, 2n+1, n) ukfom sigma-point tangent deltas.
+
+    TPU path: one fused Pallas launch (equilibrated Cholesky + ±interleave).
+    Fallback (CPU / tiny banks / small n): compose :func:`cholesky_banked`
+    with the stack-interleave — bit-identical layout either way.
+    """
+    single = cov.ndim == 2
+    if single:
+        cov = cov[None]
+    n = cov.shape[-1]
+    use_pallas = (force_pallas or (_on_tpu() and cov.shape[0] >= 64)) and n > UNROLL_LIMIT
+    if not use_pallas:
+        L = cholesky_banked(cov, force_pallas=force_pallas)
+        cols = jnp.swapaxes(L, -1, -2)  # (N, n, n): row j = column j of L
+        pm = jnp.stack([cols, -cols], axis=-2).reshape(cov.shape[0], 2 * n, n)
+        out = jnp.concatenate([jnp.zeros((cov.shape[0], 1, n), cov.dtype), pm], axis=-2)
+        return out[0] if single else out
+    nb = cov.shape[0]
+    pad = (-nb) % LANE_TILE
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=cov.dtype), (pad, n, n))
+        cov = jnp.concatenate([cov, eye], axis=0)
+    x_t = jnp.transpose(cov, (2, 1, 0))  # (col, row, batch): batch → lanes
+    d_t = _sigma_deltas_lanes(x_t, interpret=not _on_tpu())
+    out = jnp.transpose(d_t, (2, 0, 1))[:nb]  # (batch, 2n+1, n)
+    return out[0] if single else out
+
+
+@jax.custom_batching.custom_vmap
+def sigma_deltas_fast(cov: jax.Array) -> jax.Array:
+    """ukfom sigma-point deltas of one (n, n) SPD matrix; bank-optimal under
+    vmap (whole bank in one fused Pallas launch)."""
+    return sigma_deltas_banked(cov)
+
+
+@sigma_deltas_fast.def_vmap
+def _sigma_deltas_fast_vmap(axis_size, in_batched, cov):
+    del axis_size
+    (batched,) = in_batched
+    if not batched:
+        return sigma_deltas_banked(cov), False
+    lead = cov.shape[: cov.ndim - 2]
+    flat = cov.reshape((-1,) + cov.shape[-2:])
+    out = sigma_deltas_banked(flat)
+    n = cov.shape[-1]
+    return out.reshape(lead + (2 * n + 1, n)), True
 
 
 def _on_tpu() -> bool:

@@ -33,7 +33,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .kernels import cholesky_fast
+from .kernels import cholesky_fast, sigma_deltas_fast
 from .linalg_small import solve_spd
 from .manifolds import ProductManifold
 
@@ -96,11 +96,11 @@ def sigma_point_deltas(cov: jax.Array, *, jitter: float = 0.0) -> jax.Array:
     Layout matches ukfom's interleaved order (μ, +L₀, −L₀, +L₁, −L₁, …); the
     order only matters for which point seeds the iterative mean (row 0).
     """
-    n = cov.shape[-1]
-    L = _chol(cov, jitter)
-    cols = L.T  # row j = column j of L
-    plus_minus = jnp.stack([cols, -cols], axis=1).reshape(2 * n, n)
-    return jnp.concatenate([jnp.zeros((1, n), dtype=cov.dtype), plus_minus], axis=0)
+    if jitter:
+        cov = cov + jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype)
+    # single fused kernel on TPU banks: equilibrated Cholesky + ±interleave
+    # (ops/kernels.py); composes cholesky_fast + stack on the fallback paths.
+    return sigma_deltas_fast(cov)
 
 
 def sigma_points(manifold: ProductManifold, mu: Any, cov: jax.Array, *, jitter: float = 0.0) -> Any:

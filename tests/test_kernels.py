@@ -73,3 +73,19 @@ def test_ukf_predict_unchanged_by_kernel_path():
     A = jnp.asarray(RNG.normal(size=(12, 12)))
     mu2, P2 = ukf.predict(man, mu, P, lambda s: S(x=A @ s.x), Q)
     np.testing.assert_allclose(np.asarray(P2), np.asarray(A @ P @ A.T + Q), atol=1e-8)
+
+
+def test_sigma_deltas_banked_matches_composition():
+    """The fused Pallas path (interpret mode) must equal chol + ±interleave."""
+    covs = random_spd_batch(6, 53)
+    fused = kernels.sigma_deltas_banked(covs, force_pallas=True)
+    L = np.linalg.cholesky(np.asarray(covs))
+    assert fused.shape == (6, 107, 53)
+    np.testing.assert_allclose(np.asarray(fused)[:, 0], 0.0, atol=0)
+    for j in range(53):
+        np.testing.assert_allclose(np.asarray(fused)[:, 2 * j + 1], L[:, :, j], rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(fused)[:, 2 * j + 2], -L[:, :, j], rtol=1e-9, atol=1e-9)
+    # covariance-consistency identity: ½ Σ δδᵀ == P
+    d = np.asarray(fused)
+    recon = 0.5 * np.einsum("bkn,bkm->bnm", d, d)
+    np.testing.assert_allclose(recon, np.asarray(covs), rtol=1e-7, atol=1e-8)
