@@ -125,6 +125,13 @@ def _build_pose_step(dtype):
         s, _ = pukf.update_velocity(s, params, z, r)
         return s
 
+    def bank_step(bs, z, r):
+        # fused Pallas predict on the TPU f32 path (models/pose_fused.py)
+        bs = pukf.predict_bank(bs, params, 0.01)
+        bs, _ = jax.vmap(lambda s, zz, rr: pukf.update_velocity(s, params, zz, rr))(bs, z, r)
+        return bs
+
+    step.bank_step = bank_step
     return state, params, step
 
 
@@ -135,8 +142,12 @@ def bench_tpu_bank(state, step, bank_n, iters, dtype):
     z = jnp.tile(jnp.array([0.3, 0.0, 0.0], dtype)[None], (bank_n, 1))
     r = jnp.tile((jnp.eye(3, dtype=dtype) * 1e-3)[None], (bank_n, 1, 1))
 
+    banked = getattr(step, "bank_step", None)
+
     @jax.jit
     def bank_step(bs):
+        if banked is not None:
+            return banked(bs, z, r)
         return jax.vmap(step)(bs, z, r)
 
     bstate = jax.block_until_ready(bank_step(bstate))  # compile + warm

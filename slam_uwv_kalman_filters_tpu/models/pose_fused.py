@@ -1,0 +1,493 @@
+"""Fused PoseUKF prediction — the flagship Pallas fast path.
+
+The generic predict (``models.pose_ukf.predict`` → ``ops.ukf.predict``) is a
+chain of XLA ops whose intermediate tensors (sigma points, propagated points,
+deviations) each round-trip HBM with layout changes; profiling a v5e shows
+~35% of the step in pure layout copies. This module collapses the whole
+prediction into **one Pallas launch** (``_pose_predict_lanes``) in a
+bank-on-lanes layout with no relayout between phases: the equilibrated
+Cholesky + sigma-delta generation (the ops/kernels.py algorithm inlined),
+boxplus, the full PoseUKF process model
+(``/root/reference/src/PoseUKF.cpp:12-84``: IMU mechanization with
+earth-rate compensation, 8 first-order-Markov decays), the iterative
+quaternion mean, the unscented covariance reconstruction and the
+per-instance process-noise assembly (``src/PoseUKF.cpp:446-474``) — all
+vectorized over the sigma points *and* 128 lane instances at once, with the
+sigma axis chunked in two where full width would overflow the 16 MB VMEM.
+
+Numerics: identical math to the generic path except (a) the quaternion mean
+runs a fixed ``MEAN_ITERS`` iterations instead of a tolerance loop (converged
+iterations are fixed points, so extras are harmless), and (b) summations are
+VPU f32 instead of MXU-HIGHEST — both well below sensor noise (validated to
+~1e-5 relative against the generic path in ``tests/test_pose_fused.py``).
+
+The fast path applies when the filter bank shares one parameter set and runs
+f32 (the TPU deployment configuration); Monte-Carlo *parameter* sweeps and
+f64 oracle runs use the generic path. Dispatch lives in
+:func:`predict_bank`.
+
+State storage layout inside the kernel (rows of the (54, B) state block;
+field order follows ``PoseState`` / ``src/PoseState.hpp:29-45``):
+
+====  ==========================  ====================================
+rows  field                       tangent rows (53-dim, MTK layout)
+====  ==========================  ====================================
+0:3   position                    0:3
+3:7   orientation quaternion      3:6 (rotation vector)
+7:10  velocity                    6:9
+10:13 acceleration                9:12
+13:16 bias_gyro                   12:15
+16:19 bias_acc                    15:18
+19:20 gravity                     18:19
+20:29 inertia (col-major)         19:28
+29:38 lin_damping (col-major)     28:37
+38:47 quad_damping (col-major)    37:46
+47:49 water_velocity              46:48
+49:51 water_velocity_below        48:50
+51:53 bias_adcp                   50:52
+53:54 water_density               52:53
+====  ==========================  ====================================
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import geodesy as geo
+from ..ops.kernels import LANE_TILE
+
+if TYPE_CHECKING:  # circular-import guard: pose_ukf imports this lazily
+    from .pose_ukf import PoseUKFParams, PoseUKFState
+
+__all__ = ["predict_fused_banked", "MEAN_ITERS", "STORAGE_DIM", "TANGENT_DIM"]
+
+STORAGE_DIM = 54  # 53 tangent DOF + 1 (quaternion stores 4 for 3 DOF)
+TANGENT_DIM = 53
+NSIG = 2 * TANGENT_DIM + 1  # 107
+MEAN_ITERS = 6  # fixed-point quaternion-mean iterations (f32 converges in ≤3)
+
+# scalar-operand indices (SMEM (14, 1) array)
+_S_DT = 0
+_S_LAT0 = 1
+_S_MRADINV = 2
+_S_EARTHW = 3
+_S_WVQ = 4  # water_velocity_scale · dt³  (dt²-scaled Q + dt-scaled inflation)
+_S_QROT = 5  # 5:14 — dt²·(orientation block of Q), row-major
+_NSCAL = 14
+
+
+def _qmul(aw, ax, ay, az, bw, bx, by, bz):
+    """Hamilton product, componentwise (broadcasts over any shape)."""
+    return (
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    )
+
+
+def _qexp(vx, vy, vz):
+    """Rotation vector → quaternion components (MTK half-angle convention,
+    Taylor-guarded like ``ops.manifolds.quat_exp``)."""
+    theta2 = vx * vx + vy * vy + vz * vz
+    theta = jnp.sqrt(theta2)
+    small = theta2 < 1e-12
+    taylor = 0.5 - theta2 / 48.0
+    safe = jnp.where(small, jnp.ones_like(theta), theta)
+    sinc = jnp.where(small, taylor, jnp.sin(0.5 * safe) / safe)
+    w = jnp.cos(0.5 * theta)
+    return w, sinc * vx, sinc * vy, sinc * vz
+
+
+def _atan2_nonneg(n, w):
+    """atan2(n, w) for n, w ≥ 0 (first quadrant), branch-free.
+
+    Mosaic has no inverse-trig primitives, so this is the Cephes ``atanf``
+    minimax polynomial after range reduction to [0, tan π/8] — max error
+    ~1e-7 rad in f32, well under sensor noise. Inputs here are a unit
+    quaternion's |xyz| and (canonicalized, clipped) w, never both zero."""
+    mx = jnp.maximum(n, w)
+    mn = jnp.minimum(n, w)
+    t = mn / jnp.maximum(mx, jnp.asarray(jnp.finfo(n.dtype).tiny, n.dtype))
+    red = t > 0.4142135623730950  # tan(π/8): fold into [-tan π/8, tan π/8]
+    u = jnp.where(red, (t - 1.0) / (t + 1.0), t)
+    z = u * u
+    p = ((8.05374449538e-2 * z - 1.38776856032e-1) * z + 1.99777106478e-1) * z - 3.33329491539e-1
+    a = p * z * u + u
+    a = jnp.where(red, 0.7853981633974483 + a, a)
+    return jnp.where(n > w, 1.5707963267948966 - a, a)
+
+
+def _qlog(w, x, y, z):
+    """Quaternion → rotation vector (hemisphere-canonical, Taylor-guarded,
+    mirroring ``ops.manifolds.quat_log``)."""
+    neg = w < 0.0
+    w = jnp.where(neg, -w, w)
+    x = jnp.where(neg, -x, x)
+    y = jnp.where(neg, -y, y)
+    z = jnp.where(neg, -z, z)
+    w = jnp.clip(w, -1.0, 1.0)
+    n2 = x * x + y * y + z * z
+    n = jnp.sqrt(n2)
+    theta = 2.0 * _atan2_nonneg(n, w)
+    small = n2 < 1e-24
+    safe_n = jnp.where(small, jnp.ones_like(n), n)
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-6), theta / safe_n)
+    return scale * x, scale * y, scale * z
+
+
+def _qnorm4(w, x, y, z):
+    inv = jax.lax.rsqrt(w * w + x * x + y * y + z * z)
+    return w * inv, x * inv, y * inv, z * inv
+
+
+def _pose_predict_kernel(
+    a_ref,  # (53, 53, B) raw covariance, (col, row, B) layout
+    mu_ref,  # (54, B) pre-predict mean, storage layout
+    rr_ref,  # (3, B) cached rotation-rate input
+    coeff_ref,  # (54, 1) per-row Markov decay coefficient -dt/tau (0 = no decay)
+    offs_ref,  # (54, 1) per-row Markov rest point
+    q0m_ref,  # (53, 53, 1) dt^2-scaled process noise, orientation block zeroed
+    scal_ref,  # (14, 1) SMEM scalars (see _S_* indices)
+    cov_ref,  # out: (53, 53, B) predicted covariance (exactly symmetric)
+    muo_ref,  # out: (54, B) predicted mean, storage layout
+    y_ref,  # scratch: (107, 54, B) deltas -> propagated points -> deviations
+    c_ref,  # scratch: (53, 53, B) equilibrated Schur complement (Cholesky)
+):
+    n = TANGENT_DIM
+    b = a_ref.shape[-1]
+    f1 = lambda i: scal_ref[i, 0]
+    dt = f1(_S_DT)
+    mu = mu_ref[:]  # (54, B)
+
+    # ---- phase A: equilibrated Cholesky -> sigma deltas in y_ref ---------
+    # (the ops/kernels.py sigma-deltas kernel inlined; deltas land directly
+    # in the rows the propagated points will overwrite, tangent cols 0:53)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
+    tiny = jnp.asarray(jnp.finfo(mu.dtype).tiny, mu.dtype)
+    diag = jnp.concatenate([a_ref[j, j : j + 1, :] for j in range(n)], axis=0)
+    dvec = jnp.sqrt(jnp.maximum(diag, tiny))
+    dinv = 1.0 / dvec
+    for j in range(n):
+        c_ref[j] = a_ref[j] * (dinv[j : j + 1, :] * dinv)
+    y_ref[0, 0:53] = jnp.zeros((n, b), mu.dtype)
+    for j in range(n):
+        col = c_ref[j]
+        dj = jnp.sqrt(col[j : j + 1])
+        below = jnp.where(row > j, col * (1.0 / dj), jnp.zeros((), col.dtype))
+        final = jnp.where(row == j, dj, below) * dvec
+        y_ref[2 * j + 1, 0:53] = final
+        y_ref[2 * j + 2, 0:53] = -final
+        if j + 1 < n:
+            c_ref[j + 1 :] = c_ref[j + 1 :] - below[j + 1 :][:, None, :] * below[None, :, :]
+
+    # ---- phase B: boxplus + process model, chunked over sigma points -----
+    # (src/PoseUKF.cpp:12-84; chunking bounds the VMEM stack to ~half the
+    # (107, 54, B) working set -- the full-width version OOMs the 16 MB VMEM)
+    coeff = coeff_ref[:]
+    offs = offs_ref[:]
+    rr = rr_ref[:]  # (3, B)
+    for lo, hi in ((0, 54), (54, NSIG)):
+        d = y_ref[lo:hi, 0:53]  # (k, 53, B) tangent deltas of this chunk
+        # boxplus: X = mu [+] delta
+        x_pos = mu[0:3][None] + d[:, 0:3]
+        x_flat = mu[7:54][None] + d[:, 6:53]  # (k, 47, B)
+        ew, ex, ey, ez = _qexp(d[:, 3:4], d[:, 4:5], d[:, 5:6])
+        qw, qx, qy, qz = _qmul(
+            mu[3:4][None], mu[4:5][None], mu[5:6][None], mu[6:7][None], ew, ex, ey, ez
+        )
+        qw, qx, qy, qz = _qnorm4(qw, qx, qy, qz)  # (k, 1, B) each
+        x_vel = x_flat[:, 0:3]  # velocity rows (storage 7:10)
+        x_acc = x_flat[:, 3:6]
+        x_bg = x_flat[:, 6:9]
+        # position [+] velocity*dt
+        y_pos = x_pos + dt * x_vel
+        # latitude at the (per-sigma-point) position -> earth rate (NWU)
+        lat = f1(_S_LAT0) + x_pos[:, 0:1] * f1(_S_MRADINV)
+        er_x = f1(_S_EARTHW) * jnp.cos(lat)
+        er_z = f1(_S_EARTHW) * jnp.sin(lat)
+        # body rate minus gyro bias, rotated to nav: R(q)*v via Rodrigues
+        vx = rr[0:1][None] - x_bg[:, 0:1]
+        vy = rr[1:2][None] - x_bg[:, 1:2]
+        vz = rr[2:3][None] - x_bg[:, 2:3]
+        tx = 2.0 * (qy * vz - qz * vy)
+        ty = 2.0 * (qz * vx - qx * vz)
+        tz = 2.0 * (qx * vy - qy * vx)
+        wx = vx + qw * tx + (qy * tz - qz * ty) - er_x
+        wy = vy + qw * ty + (qz * tx - qx * tz)
+        wz = vz + qw * tz + (qx * ty - qy * tx) - er_z
+        # orientation [+] omega*dt
+        gw, gx, gy, gz = _qexp(wx * dt, wy * dt, wz * dt)
+        yqw, yqx, yqy, yqz = _qnorm4(*_qmul(qw, qx, qy, qz, gw, gx, gy, gz))
+        # velocity [+] acceleration*dt; blanket first-order-Markov decay
+        # (coeff rows are 0 for position/quat/velocity/acceleration/gravity)
+        y_flat = x_flat + coeff[7:54][None] * (x_flat - offs[7:54][None])
+        y_ref[lo:hi, 7:10] = x_vel + dt * x_acc
+        y_ref[lo:hi, 10:54] = y_flat[:, 3:]
+        y_ref[lo:hi, 0:3] = y_pos
+        y_ref[lo:hi, 3:4] = yqw
+        y_ref[lo:hi, 4:5] = yqx
+        y_ref[lo:hi, 5:6] = yqy
+        y_ref[lo:hi, 6:7] = yqz
+
+    # ---- phase C: manifold mean (flats closed-form, quaternion iterative) -
+    inv_n = 1.0 / NSIG
+    mean_flat = jnp.sum(y_ref[:, 7:54], axis=0) * inv_n  # (47, B)
+    mean_pos = jnp.sum(y_ref[:, 0:3], axis=0) * inv_n  # (3, B)
+    yqw = y_ref[:, 3:4]
+    yqx = y_ref[:, 4:5]
+    yqy = y_ref[:, 5:6]
+    yqz = y_ref[:, 6:7]
+    mw, mx, my, mz = yqw[0], yqx[0], yqy[0], yqz[0]  # seed = point 0 (ukfom)
+    for _ in range(MEAN_ITERS):
+        # delta_i = Log(m^-1 x q_i) -- conj(m) against all 107 points
+        lw, lx, ly, lz = _qmul(mw[None], -mx[None], -my[None], -mz[None], yqw, yqx, yqy, yqz)
+        rx, ry, rz = _qlog(lw, lx, ly, lz)
+        gw, gx, gy, gz = _qexp(
+            jnp.sum(rx, axis=0) * inv_n, jnp.sum(ry, axis=0) * inv_n, jnp.sum(rz, axis=0) * inv_n
+        )
+        mw, mx, my, mz = _qnorm4(*_qmul(mw, mx, my, mz, gw, gx, gy, gz))
+
+    muo_ref[0:3] = mean_pos
+    muo_ref[3:4] = mw
+    muo_ref[4:5] = mx
+    muo_ref[5:6] = my
+    muo_ref[6:7] = mz
+    muo_ref[7:54] = mean_flat
+
+    # ---- phase D: deviations D = Y [-] mean, in place (tangent cols 0:53) -
+    lw, lx, ly, lz = _qmul(mw[None], -mx[None], -my[None], -mz[None], yqw, yqx, yqy, yqz)
+    rx, ry, rz = _qlog(lw, lx, ly, lz)
+    y_ref[:, 0:3] = y_ref[:, 0:3] - mean_pos[None]
+    y_ref[:, 6:53] = y_ref[:, 7:54] - mean_flat[None]
+    y_ref[:, 3:4] = rx
+    y_ref[:, 4:5] = ry
+    y_ref[:, 5:6] = rz
+
+    # ---- process-noise assembly (src/PoseUKF.cpp:446-460) ----------------
+    # orientation block: R(mu_in)*Qrot*R(mu_in)^T, Qrot pre-scaled by dt^2
+    w0, x0, y0, z0 = mu[3:4], mu[4:5], mu[5:6], mu[6:7]  # (1, B)
+    r00 = 1 - 2 * (y0 * y0 + z0 * z0)
+    r01 = 2 * (x0 * y0 - w0 * z0)
+    r02 = 2 * (x0 * z0 + w0 * y0)
+    r10 = 2 * (x0 * y0 + w0 * z0)
+    r11 = 1 - 2 * (x0 * x0 + z0 * z0)
+    r12 = 2 * (y0 * z0 - w0 * x0)
+    r20 = 2 * (x0 * z0 - w0 * y0)
+    r21 = 2 * (y0 * z0 + w0 * x0)
+    r22 = 1 - 2 * (x0 * x0 + y0 * y0)
+    R = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
+    Qr = tuple(tuple(f1(_S_QROT + 3 * i + j) for j in range(3)) for i in range(3))
+    # T = R*Qr ; B3 = T*R^T (exact-symmetric assembly: compute lower, mirror)
+    T = tuple(
+        tuple(sum(R[i][k] * Qr[k][j] for k in range(3)) for j in range(3)) for i in range(3)
+    )
+    B3 = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(i + 1):
+            v = sum(T[i][k] * R[j][k] for k in range(3))
+            B3[i][j] = v
+            B3[j][i] = v
+    # velocity-scaled water-current inflation (z-velocity x10), dt^3 total
+    v0, v1, v2 = mu[7:8], mu[8:9], mu[9:10]
+    wvq = f1(_S_WVQ) * (v0 * v0 + v1 * v1 + 100.0 * v2 * v2)  # (1, B)
+
+    # ---- phase E: covariance 1/2*sum_i(D_i D_i^T) + Q, rows, sigma-chunked -
+    for nn in range(TANGENT_DIM):
+        acc = None
+        for lo, hi in ((0, 54), (54, NSIG)):
+            part = jnp.sum(y_ref[lo:hi, 0:53] * y_ref[lo:hi, nn, :][:, None, :], axis=0)
+            acc = part if acc is None else acc + part
+        acc = 0.5 * acc + q0m_ref[nn]  # q0m broadcast (53, 1) over lanes
+        if 3 <= nn < 6:
+            acc = jnp.concatenate(
+                [
+                    acc[0:3],
+                    acc[3:4] + B3[0][nn - 3],
+                    acc[4:5] + B3[1][nn - 3],
+                    acc[5:6] + B3[2][nn - 3],
+                    acc[6:],
+                ],
+                axis=0,
+            )
+        if 46 <= nn < 50:
+            acc = jnp.concatenate([acc[0:nn], acc[nn : nn + 1] + wvq, acc[nn + 1 :]], axis=0)
+        cov_ref[nn] = acc
+
+
+def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret):
+    nb = cov_t.shape[-1]
+    n = TANGENT_DIM
+    grid = (nb // LANE_TILE,)
+    lane_spec = lambda *shape: pl.BlockSpec(
+        (*shape, LANE_TILE), lambda i: (*(0,) * len(shape), i), memory_space=pltpu.VMEM
+    )
+    full_spec = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _pose_predict_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((STORAGE_DIM, nb), cov_t.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            lane_spec(n, n),
+            lane_spec(STORAGE_DIM),
+            lane_spec(3),
+            full_spec(STORAGE_DIM, 1),
+            full_spec(STORAGE_DIM, 1),
+            full_spec(n, n, 1),
+            pl.BlockSpec((_NSCAL, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(lane_spec(n, n), lane_spec(STORAGE_DIM)),
+        scratch_shapes=[
+            pltpu.VMEM((NSIG, STORAGE_DIM, LANE_TILE), cov_t.dtype),
+            pltpu.VMEM((n, n, LANE_TILE), cov_t.dtype),
+        ],
+        interpret=interpret,
+    )(cov_t, mu_t, rr_t, coeff, offs, q0m, scal)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side packing / dispatch
+# ---------------------------------------------------------------------------
+
+
+def _pack_storage(mu) -> jax.Array:
+    """PoseState (banked, leading bank axis) → (B, 54) storage matrix.
+    3×3 fields flatten column-major to match the MTK tangent layout
+    (``src/PoseState.hpp:37-39``)."""
+    cm = lambda m: jnp.swapaxes(m, -1, -2).reshape(*m.shape[:-2], 9)
+    return jnp.concatenate(
+        [
+            mu.position,
+            mu.orientation,
+            mu.velocity,
+            mu.acceleration,
+            mu.bias_gyro,
+            mu.bias_acc,
+            mu.gravity,
+            cm(mu.inertia),
+            cm(mu.lin_damping),
+            cm(mu.quad_damping),
+            mu.water_velocity,
+            mu.water_velocity_below,
+            mu.bias_adcp,
+            mu.water_density,
+        ],
+        axis=-1,
+    )
+
+
+def _unpack_storage(s: jax.Array, like):
+    """(B, 54) storage matrix → PoseState pytree shaped like ``like``."""
+    icm = lambda v: jnp.swapaxes(v.reshape(*v.shape[:-1], 3, 3), -1, -2)
+    return like._replace(
+        position=s[..., 0:3],
+        orientation=s[..., 3:7],
+        velocity=s[..., 7:10],
+        acceleration=s[..., 10:13],
+        bias_gyro=s[..., 13:16],
+        bias_acc=s[..., 16:19],
+        gravity=s[..., 19:20],
+        inertia=icm(s[..., 20:29]),
+        lin_damping=icm(s[..., 29:38]),
+        quad_damping=icm(s[..., 38:47]),
+        water_velocity=s[..., 47:49],
+        water_velocity_below=s[..., 49:51],
+        bias_adcp=s[..., 51:53],
+        water_density=s[..., 53:54],
+    )
+
+
+def _decay_vectors(params: "PoseUKFParams", dt, dtype):
+    """(54, 1) per-storage-row Markov coefficient −dt/τ and rest point."""
+    z3 = jnp.zeros(3, dtype)
+    cm = lambda m: m.T.reshape(9)
+    taus = jnp.concatenate(
+        [
+            jnp.zeros(13, dtype),  # pos, quat, vel, acc — no decay
+            jnp.full(3, -dt / params.gyro_bias_tau, dtype),
+            jnp.full(3, -dt / params.acc_bias_tau, dtype),
+            jnp.zeros(1, dtype),  # gravity
+            jnp.full(9, -dt / params.inertia_tau, dtype),
+            jnp.full(9, -dt / params.lin_damping_tau, dtype),
+            jnp.full(9, -dt / params.quad_damping_tau, dtype),
+            jnp.full(4, -dt / params.water_velocity_tau, dtype),
+            jnp.full(2, -dt / params.adcp_bias_tau, dtype),
+            jnp.full(1, -dt / params.water_density_tau, dtype),
+        ]
+    )
+    offs = jnp.concatenate(
+        [
+            jnp.zeros(13, dtype),
+            params.gyro_bias_offset.astype(dtype),
+            params.acc_bias_offset.astype(dtype),
+            jnp.zeros(1, dtype),
+            cm(params.inertia_offset).astype(dtype),
+            cm(params.lin_damping_offset).astype(dtype),
+            cm(params.quad_damping_offset).astype(dtype),
+            jnp.zeros(4, dtype),
+            jnp.zeros(2, dtype),
+            params.water_density_offset[None].astype(dtype),
+        ]
+    )
+    return taus[:, None], offs[:, None]
+
+
+def predict_fused_banked(
+    state: "PoseUKFState", params: "PoseUKFParams", dt, *, interpret: bool = False
+) -> "PoseUKFState":
+    """Fused-kernel prediction over a whole bank (leading bank axis on every
+    state leaf; one shared ``params``). Semantics match
+    ``vmap(pose_ukf.predict)`` to f32 accuracy; see module docstring."""
+    from . import pose_ukf as pukf  # local import (pose_ukf ↔ pose_fused)
+
+    dtype = state.cov.dtype
+    nb = state.cov.shape[0]
+    dt = jnp.asarray(dt, dtype)
+
+    pad = (-nb) % LANE_TILE
+    cov = state.cov
+    mu_s = _pack_storage(state.mu)  # (B, 54)
+    rr = state.rotation_rate
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(TANGENT_DIM, dtype=dtype), (pad, TANGENT_DIM, TANGENT_DIM))
+        cov = jnp.concatenate([cov, eye], axis=0)
+        filler_mu = jnp.tile(mu_s[:1], (pad, 1))
+        mu_s = jnp.concatenate([mu_s, filler_mu], axis=0)
+        rr = jnp.concatenate([rr, jnp.tile(rr[:1], (pad, 1))], axis=0)
+
+    cov_t = jnp.transpose(cov, (2, 1, 0))
+    mu_t = mu_s.T
+    rr_t = rr.T
+
+    coeff, offs = _decay_vectors(params, dt, dtype)
+    q0 = params.process_noise.astype(dtype)
+    so = pukf.POSE_MANIFOLD.block("orientation")
+    q0m = dt**2 * q0
+    q0m = q0m.at[so, so].set(0.0)[:, :, None]
+    scal = jnp.concatenate(
+        [
+            dt[None],
+            params.projection.lat0.astype(dtype)[None],
+            (1.0 / params.projection.m_rad.astype(dtype))[None],
+            jnp.asarray([geo.EARTHW], dtype),
+            (params.water_velocity_scale.astype(dtype) * dt**3)[None],
+            (dt**2 * q0[so, so]).reshape(9),
+        ]
+    )[:, None]
+
+    cov_t2, mu_t2 = _pose_predict_lanes(
+        cov_t, mu_t, rr_t, coeff, offs, q0m, scal, interpret=interpret
+    )
+    cov_out = jnp.transpose(cov_t2, (2, 1, 0))[:nb]
+    mu_out = _unpack_storage(mu_t2.T[:nb], state.mu)
+    return state._replace(mu=mu_out, cov=cov_out)
