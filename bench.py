@@ -126,9 +126,10 @@ def _build_pose_step(dtype):
         return s
 
     def bank_step(bs, z, r):
-        # fused Pallas predict on the TPU f32 path (models/pose_fused.py)
+        # fused Pallas predict + update on the TPU f32 path (models/pose_fused.py,
+        # models/pose_update_fused.py); generic vmap path elsewhere
         bs = pukf.predict_bank(bs, params, 0.01)
-        bs, _ = jax.vmap(lambda s, zz, rr: pukf.update_velocity(s, params, zz, rr))(bs, z, r)
+        bs, _ = pukf.update_velocity_bank(bs, params, z, r)
         return bs
 
     step.bank_step = bank_step

@@ -69,7 +69,7 @@ __all__ = ["predict_fused_banked", "MEAN_ITERS", "STORAGE_DIM", "TANGENT_DIM"]
 STORAGE_DIM = 54  # 53 tangent DOF + 1 (quaternion stores 4 for 3 DOF)
 TANGENT_DIM = 53
 NSIG = 2 * TANGENT_DIM + 1  # 107
-MEAN_ITERS = 6  # fixed-point quaternion-mean iterations (f32 converges in ≤3)
+MEAN_ITERS = 4  # fixed-point quaternion-mean iterations (f32 converges in ≤3)
 
 # scalar-operand indices (SMEM (14, 1) array)
 _S_DT = 0

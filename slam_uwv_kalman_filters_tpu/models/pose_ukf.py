@@ -530,6 +530,61 @@ def predict_bank(
     return jax.vmap(lambda s: predict(s, params, dt))(bstate)
 
 
+def update_bank(
+    bstate: PoseUKFState,
+    params: PoseUKFParams,
+    z: jax.Array,
+    meas_cov: jax.Array,
+    h,
+    deps: tuple[str, ...],
+    gate_threshold=None,
+    *,
+    use_fused: str | bool = "auto",
+) -> tuple[PoseUKFState, "ukf.UpdateInfo"]:
+    """Bank-level unscented update with a vector measurement model ``h``
+    (``deps`` = the PoseState fields ``h`` reads). Fused Pallas tail on the
+    TPU f32 shared-params path (``models.pose_update_fused``); generic
+    ``vmap(ukf.update)`` otherwise."""
+    if use_fused == "auto":
+        use_fused = (
+            bstate.cov.dtype == jnp.float32
+            and bstate.cov.ndim == 3
+            and params.process_noise.ndim == 2
+            and jax.default_backend() == "tpu"
+        )
+    if use_fused:
+        from . import pose_update_fused
+
+        return pose_update_fused.update_fused_banked(
+            bstate, params, z, meas_cov, h, deps, gate_threshold
+        )
+
+    def one(s_mu, s_cov, zz, rr):
+        mu, cov, info = ukf.update(
+            POSE_MANIFOLD, s_mu, s_cov, zz, h, rr, gate_threshold=gate_threshold
+        )
+        return mu, cov, info
+
+    rr_b = jnp.broadcast_to(
+        jnp.asarray(meas_cov, bstate.cov.dtype), (bstate.cov.shape[0], z.shape[-1], z.shape[-1])
+    )
+    mu, cov, info = jax.vmap(one)(bstate.mu, bstate.cov, z, rr_b)
+    return bstate._replace(mu=mu, cov=cov), info
+
+
+def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
+    """Bank-level DVL velocity update (``PoseUKF.cpp:117-123,476-482``)."""
+    return update_bank(
+        bstate,
+        params,
+        z,
+        meas_cov,
+        lambda s: mf.quat_rotate_inv(s.orientation, s.velocity),
+        ("orientation", "velocity"),
+        use_fused=use_fused,
+    )
+
+
 def get_rotation_rate(state: PoseUKFState, params: PoseUKFParams) -> jax.Array:
     """``getRotationRate`` (``src/PoseUKF.cpp:693-699``): bias- and
     earth-rate-compensated body rotation rate."""

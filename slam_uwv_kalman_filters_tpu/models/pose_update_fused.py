@@ -1,0 +1,285 @@
+"""Fused PoseUKF measurement update — the linear-algebra tail in one launch.
+
+The generic update (``ops.ukf.update``) re-draws sigma points (Pallas), then
+runs S/C/gain/covariance algebra as a chain of small XLA ops whose layout
+copies dominate. This path keeps everything bank-on-lanes:
+
+1. ``ops.kernels._sigma_deltas_lanes`` — sigma tangent deltas, bank-last;
+2. XLA: the measurement model ``h`` evaluated on only the tangent rows it
+   depends on (each update declares its field dependencies), producing the
+   measurement-space deviations and innovation — a few-MB tensor;
+3. ``_pose_update_lanes`` (here): S = ½ΣdZdZᵀ + R, cross-covariance
+   C = ½ΣδdZᵀ, the m×m Cholesky solve unrolled on lanes, the Mahalanobis
+   gate, the manifold state correction (flats + quaternion boxplus) and the
+   exactly-symmetric covariance downdate cov − W·Wᵀ (W = K·chol(S)) — one
+   kernel launch for the whole bank.
+
+Generic over the measurement model because ``h`` never enters the kernel;
+only the measurement dimension ``m`` is static. Semantics match
+``vmap(ops.ukf.update)`` (ukfom conventions, masked χ² gating) to f32
+accuracy; parity pinned by ``tests/test_pose_fused.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, TYPE_CHECKING
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import ukf
+from ..ops.kernels import LANE_TILE, _sigma_deltas_lanes
+from .pose_fused import (
+    NSIG,
+    STORAGE_DIM,
+    TANGENT_DIM,
+    _pack_storage,
+    _qexp,
+    _qmul,
+    _qnorm4,
+    _unpack_storage,
+)
+
+if TYPE_CHECKING:
+    from .pose_ukf import PoseUKFParams, PoseUKFState
+
+__all__ = ["update_fused_banked"]
+
+
+def _make_update_kernel(m: int):
+    def kernel(
+        d_ref,  # (107, 53, B) sigma tangent deltas
+        dz_ref,  # (107, m, B) measurement-space deviations
+        nu_ref,  # (m, B) innovation
+        r_ref,  # (m, m, B) measurement covariance
+        mu_ref,  # (54, B) prior mean, storage layout
+        cov_ref,  # (53, 53, B) prior covariance (bank-last, minor dims symmetric)
+        scal_ref,  # (1, 1) SMEM: χ² gate threshold (< 0 ⇒ accept any)
+        covo_ref,  # out: (53, 53, B)
+        muo_ref,  # out: (54, B)
+        m2_ref,  # out: (1, B) Mahalanobis² (the NIS)
+        acc_ref,  # out: (1, B) gate outcome as 1.0/0.0
+    ):
+        n = TANGENT_DIM
+        dz = dz_ref[:]  # (107, m, B)
+        nu = nu_ref[:]  # (m, B)
+        thr = scal_ref[0, 0]
+
+        # S = ½ΣdZdZᵀ + R (m small — all entries as (1, B) lane vectors)
+        S = [[None] * m for _ in range(m)]
+        for a in range(m):
+            for b2 in range(a + 1):
+                v = 0.5 * jnp.sum(dz[:, a : a + 1, :] * dz[:, b2 : b2 + 1, :], axis=0) + r_ref[
+                    a, b2 : b2 + 1, :
+                ]
+                S[a][b2] = v
+                S[b2][a] = v
+        # unrolled lane-wise Cholesky of S (ops/linalg_small.py pattern)
+        L = [[None] * m for _ in range(m)]
+        for j in range(m):
+            s = S[j][j]
+            for k in range(j):
+                s = s - L[j][k] * L[j][k]
+            dgj = jnp.sqrt(s)
+            L[j][j] = dgj
+            inv_d = 1.0 / dgj
+            for i in range(j + 1, m):
+                t = S[i][j]
+                for k in range(j):
+                    t = t - L[i][k] * L[j][k]
+                L[i][j] = t * inv_d
+        inv_diag = [1.0 / L[i][i] for i in range(m)]
+
+        # cross-covariance C = ½ΣδdZᵀ, sigma-chunked to bound VMEM temps
+        C = []
+        for a in range(m):
+            acc = None
+            for lo, hi in ((0, 54), (54, NSIG)):
+                part = jnp.sum(d_ref[lo:hi] * dz[lo:hi, a : a + 1, :], axis=0)
+                acc = part if acc is None else acc + part
+            C.append(0.5 * acc)  # (53, B)
+
+        # W = K·L  solves K·S·Kᵀ = W·Wᵀ without forming S⁻¹:
+        # K = C·S⁻¹ = C·L⁻ᵀ·L⁻¹ ⇒ W = K·L = C·L⁻ᵀ  (back-substitution on Lᵀ)
+        W = [None] * m
+        for i in reversed(range(m)):
+            t = C[i]
+            for k in range(i + 1, m):
+                t = t - L[k][i] * W[k]
+            W[i] = t * inv_diag[i]
+        # y = L⁻¹·ν (forward substitution): m2 = |y|², and K·ν = W·y
+        y = [None] * m
+        for i in range(m):
+            t = nu[i : i + 1, :]
+            for k in range(i):
+                t = t - L[i][k] * y[k]
+            y[i] = t * inv_diag[i]
+        m2 = sum(y[i] * y[i] for i in range(m))  # (1, B)
+        accepted = jnp.logical_or(m2 <= thr, thr < 0.0).astype(dz.dtype)  # (1, B)
+        m2_ref[:] = m2
+        acc_ref[:] = accepted
+
+        # state correction: corr = K·ν = Σ W[i]·y[i] (53, B), masked boxplus
+        corr = sum(W[i] * y[i] for i in range(m)) * accepted
+        mu = mu_ref[:]
+        muo_ref[0:3] = mu[0:3] + corr[0:3]
+        muo_ref[7:54] = mu[7:54] + corr[6:53]
+        ew, ex, ey, ez = _qexp(corr[3:4][None], corr[4:5][None], corr[5:6][None])
+        qw, qx, qy, qz = _qnorm4(
+            *_qmul(mu[3:4][None], mu[4:5][None], mu[5:6][None], mu[6:7][None], ew, ex, ey, ez)
+        )
+        muo_ref[3:4] = qw[0]
+        muo_ref[4:5] = qx[0]
+        muo_ref[5:6] = qy[0]
+        muo_ref[6:7] = qz[0]
+
+        # covariance downdate: cov − Σᵢ Wᵢ⊗Wᵢ (exactly symmetric), gate-masked
+        T = None
+        for i in range(m):
+            o = W[i][:, None, :] * W[i][None, :, :]  # (53, 53, B)
+            T = o if T is None else T + o
+        covo_ref[:] = cov_ref[:] - T * accepted[None]
+
+    return kernel
+
+
+def _pose_update_lanes(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr, *, interpret):
+    nb = deltas_t.shape[-1]
+    n = TANGENT_DIM
+    m = dz_t.shape[1]
+    lane_spec = lambda *shape: pl.BlockSpec(
+        (*shape, LANE_TILE), lambda i: (*(0,) * len(shape), i), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _make_update_kernel(m),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((STORAGE_DIM, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((1, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((1, nb), cov_t.dtype),
+        ),
+        grid=(nb // LANE_TILE,),
+        in_specs=[
+            lane_spec(NSIG, n),
+            lane_spec(NSIG, m),
+            lane_spec(m),
+            lane_spec(m, m),
+            lane_spec(STORAGE_DIM),
+            lane_spec(n, n),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(lane_spec(n, n), lane_spec(STORAGE_DIM), lane_spec(1), lane_spec(1)),
+        interpret=interpret,
+    )(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr)
+
+
+# tangent-row slice of each PoseState field (MTK layout, SURVEY.md §2.2)
+_FIELD_ROWS = {
+    "position": (0, 3),
+    "orientation": (3, 6),
+    "velocity": (6, 9),
+    "acceleration": (9, 12),
+    "bias_gyro": (12, 15),
+    "bias_acc": (15, 18),
+    "gravity": (18, 19),
+    "inertia": (19, 28),
+    "lin_damping": (28, 37),
+    "quad_damping": (37, 46),
+    "water_velocity": (46, 48),
+    "water_velocity_below": (48, 50),
+    "bias_adcp": (50, 52),
+    "water_density": (52, 53),
+}
+
+
+def update_fused_banked(
+    bstate: "PoseUKFState",
+    params: "PoseUKFParams",
+    z: jax.Array,  # (B, m)
+    meas_cov: jax.Array,  # (B, m, m) or (m, m)
+    h: Callable,  # PoseState → (m,) measurement prediction
+    deps: Sequence[str],  # PoseState fields h reads (others fed the mean)
+    gate_threshold: float | None = None,
+    *,
+    interpret: bool = False,
+) -> tuple["PoseUKFState", ukf.UpdateInfo]:
+    """Fused-kernel unscented update over a bank (shared params, f32 TPU
+    path). ``h`` runs in XLA on sigma points whose non-``deps`` fields are
+    pinned to the mean (valid because ``deps`` lists every field ``h``
+    reads), so only a ``(B, 107, Σdep-dims)`` tensor leaves the kernel
+    pipeline."""
+    from ..ops import manifolds as mf
+    from . import pose_ukf as pukf
+
+    dtype = bstate.cov.dtype
+    nb = bstate.cov.shape[0]
+    z = jnp.asarray(z, dtype)
+    m = z.shape[-1]
+    meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
+
+    pad = (-nb) % LANE_TILE
+    cov = bstate.cov
+    mu_s = _pack_storage(bstate.mu)
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(TANGENT_DIM, dtype=dtype), (pad, TANGENT_DIM, TANGENT_DIM))
+        cov = jnp.concatenate([cov, eye], axis=0)
+        mu_s = jnp.concatenate([mu_s, jnp.tile(mu_s[:1], (pad, 1))], axis=0)
+
+    cov_t = jnp.transpose(cov, (2, 1, 0))
+    deltas_t = _sigma_deltas_lanes(cov_t, interpret=interpret)  # (107, 53, nb)
+
+    # measurement model on the dependent tangent rows only (bank-first, small)
+    rows = sorted((_FIELD_ROWS[f], f) for f in deps)
+    d_small = jnp.concatenate(
+        [deltas_t[:, lo:hi, :] for (lo, hi), _ in rows], axis=1
+    )  # (107, k, nb)
+    d_small = jnp.transpose(d_small, (2, 0, 1))[:nb]  # (B, 107, k)
+
+    mu_bank = bstate.mu
+
+    def h_of(delta_k, mu_one):
+        # rebuild only the dependent fields from their tangent slices
+        updates, off = {}, 0
+        for (lo, hi), name in rows:
+            k = hi - lo
+            dpart = delta_k[off : off + k]
+            off += k
+            val = getattr(mu_one, name)
+            if name == "orientation":
+                updates[name] = mf.so3_boxplus(val, dpart)
+            elif val.ndim == 2:  # mat33, column-major tangent
+                updates[name] = val + dpart.reshape(3, 3).T
+            else:
+                updates[name] = val + dpart
+        return h(mu_one._replace(**updates))
+
+    Z = jax.vmap(lambda dk, mo: jax.vmap(lambda d1: h_of(d1, mo))(dk))(d_small, mu_bank)
+    z_mean = jnp.mean(Z, axis=1)  # (B, m)
+    dZ = Z - z_mean[:, None, :]
+    innovation = z - z_mean  # (B, m)
+
+    if pad:
+        dZ = jnp.concatenate([dZ, jnp.zeros((pad, NSIG, m), dtype)], axis=0)
+        innovation_p = jnp.concatenate([innovation, jnp.zeros((pad, m), dtype)], axis=0)
+        meas_cov_p = jnp.concatenate(
+            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
+        )
+    else:
+        innovation_p, meas_cov_p = innovation, meas_cov
+
+    dz_t = jnp.transpose(dZ, (1, 2, 0))  # (107, m, nb)
+    nu_t = innovation_p.T  # (m, nb)
+    r_t = jnp.transpose(meas_cov_p, (1, 2, 0))  # (m, m, nb)
+    thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)
+
+    covo_t, muo_t, m2, acc = _pose_update_lanes(
+        deltas_t, dz_t, nu_t, r_t, mu_s.T, cov_t, thr, interpret=interpret
+    )
+    cov_out = jnp.transpose(covo_t, (2, 1, 0))[:nb]
+    mu_out = _unpack_storage(muo_t.T[:nb], bstate.mu)
+    info = ukf.UpdateInfo(
+        mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=innovation
+    )
+    return bstate._replace(mu=mu_out, cov=cov_out), info

@@ -78,3 +78,49 @@ def test_fused_predict_chain_stays_consistent():
         b = jax.vmap(lambda s: pukf.predict(s, params, 0.02))(b)
     np.testing.assert_allclose(np.asarray(a.mu.position), np.asarray(b.mu.position), atol=1e-4)
     np.testing.assert_allclose(np.asarray(a.cov), np.asarray(b.cov), rtol=1e-3, atol=1e-5)
+
+
+def test_fused_update_matches_generic():
+    """Fused update tail (models/pose_update_fused.py, interpret mode) equals
+    vmap(ukf.update) for the DVL velocity model, including the gate."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused
+    from slam_uwv_kalman_filters_tpu.ops import ukf
+
+    bstate, params = _make_bank(3)
+    n = 3
+    z = jnp.asarray(RNG.normal(scale=0.3, size=(n, 3)), jnp.float32)
+    r = jnp.eye(3, dtype=jnp.float32) * 1e-3
+    h = lambda s: mf.quat_rotate_inv(s.orientation, s.velocity)
+
+    out, info = pose_update_fused.update_fused_banked(
+        bstate, params, z, r, h, ("orientation", "velocity"), None, interpret=True
+    )
+    ref_s, ref_info = pukf.update_velocity(
+        jax.tree_util.tree_map(lambda a: a[0], bstate), params, z[0], r
+    )
+    np.testing.assert_allclose(np.asarray(out.cov[0]), np.asarray(ref_s.cov), rtol=5e-3, atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.mu.velocity[0]), np.asarray(ref_s.mu.velocity), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(info.mahalanobis2[0]), float(ref_info.mahalanobis2), rtol=1e-3
+    )
+    # gate: absurd measurement must be rejected and leave the state untouched
+    z_bad = jnp.full((n, 3), 1e4, jnp.float32)
+    out2, info2 = pose_update_fused.update_fused_banked(
+        bstate, params, z_bad, r, h, ("orientation", "velocity"), 5.991, interpret=True
+    )
+    assert not bool(info2.accepted[0])
+    np.testing.assert_allclose(np.asarray(out2.cov), np.asarray(bstate.cov), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out2.mu.position), np.asarray(bstate.mu.position), atol=0
+    )
+
+
+def test_update_bank_dispatcher_generic_path():
+    bstate, params = _make_bank(2)
+    z = jnp.asarray(RNG.normal(scale=0.3, size=(2, 3)), jnp.float32)
+    r = jnp.eye(3, dtype=jnp.float32) * 1e-3
+    out, info = pukf.update_velocity_bank(bstate, params, z, r, use_fused=False)
+    ref = jax.vmap(lambda s, zz: pukf.update_velocity(s, params, zz, r)[0])(bstate, z)
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=1e-7)
