@@ -585,6 +585,100 @@ def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     )
 
 
+def update_acceleration_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
+    """Bank-level IMU specific-force update (``PoseUKF.cpp:125-131,484-490``)."""
+
+    def h(s: PoseState):
+        dtype = s.gravity.dtype
+        g_vec = jnp.stack([jnp.zeros((), dtype), jnp.zeros((), dtype), s.gravity[0]])
+        return mf.quat_rotate_inv(s.orientation, s.acceleration + g_vec) + s.bias_acc
+
+    return update_bank(
+        bstate, params, z, meas_cov, h,
+        ("orientation", "acceleration", "bias_acc", "gravity"), use_fused=use_fused,
+    )
+
+
+def update_z_position_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
+    """Bank-level depth update (``PoseUKF.cpp:100-105,498-504``)."""
+    return update_bank(
+        bstate, params, z, meas_cov, lambda s: s.position[2:3], ("position",),
+        use_fused=use_fused,
+    )
+
+
+def update_xy_position_bank(bstate, params, z, meas_cov, gate_threshold=None, *, use_fused="auto"):
+    """Bank-level XY position update (``PoseUKF.cpp:87-92,506-512``);
+    pass ``gate_threshold=ukf.D2P95`` for the GPS path (``:567-579``)."""
+    return update_bank(
+        bstate, params, z, meas_cov, lambda s: s.position[:2], ("position",),
+        gate_threshold, use_fused=use_fused,
+    )
+
+
+def update_pressure_bank(bstate, params, z, meas_cov, pressure_sensor_in_imu=None, *, use_fused="auto"):
+    """Bank-level hydrostatic-pressure update (``PoseUKF.cpp:107-115,559-565``)."""
+    lever = (
+        jnp.zeros(3, bstate.cov.dtype)
+        if pressure_sensor_in_imu is None
+        else jnp.asarray(pressure_sensor_in_imu, bstate.cov.dtype)
+    )
+
+    def h(s: PoseState):
+        sensor_nav = s.position + mf.quat_rotate(s.orientation, lever)
+        p = params.atmospheric_pressure - sensor_nav[2] * s.gravity[0] * s.water_density[0]
+        return p[None]
+
+    return update_bank(
+        bstate, params, z, meas_cov, h,
+        ("position", "orientation", "gravity", "water_density"), use_fused=use_fused,
+    )
+
+
+def update_water_velocity_bank(bstate, params, z, meas_cov, cell_weighting, *, use_fused="auto"):
+    """Bank-level ADCP water-current update, χ²-95 gated
+    (``PoseUKF.cpp:133-151,604-611``)."""
+
+    def h(s: PoseState):
+        dtype = s.position.dtype
+        wvb = jnp.stack([s.water_velocity_below[0], s.water_velocity_below[1], jnp.zeros((), dtype)])
+        wvb_meas = mf.quat_rotate_inv(s.orientation, s.velocity - wvb)
+        wv = jnp.stack([s.water_velocity[0], s.water_velocity[1], jnp.zeros((), dtype)])
+        wv_meas = mf.quat_rotate_inv(s.orientation, s.velocity - wv)
+        blended = cell_weighting * wvb_meas[:2] + (1.0 - cell_weighting) * wv_meas[:2]
+        return blended + s.bias_adcp
+
+    return update_bank(
+        bstate, params, z, meas_cov, h,
+        ("orientation", "velocity", "water_velocity", "water_velocity_below", "bias_adcp"),
+        ukf.D2P95, use_fused=use_fused,
+    )
+
+
+def update_body_efforts_bank(bstate, params, z, meas_cov, rotation_rate_body, *, use_fused="auto"):
+    """Bank-level model-aided effort update (``PoseUKF.cpp:153-196,581-602``,
+    full mode). ``rotation_rate_body`` is the bias/earth-rate-compensated body
+    rate, shared across the bank (pass ``get_rotation_rate`` of the ensemble
+    mean, or use the generic per-instance path for exact per-instance rates)."""
+
+    def h(s: PoseState):
+        return _efforts_measurement(s, params, rotation_rate_body)
+
+    return update_bank(
+        bstate, params, z, meas_cov, h,
+        (
+            "orientation",
+            "velocity",
+            "acceleration",
+            "inertia",
+            "lin_damping",
+            "quad_damping",
+            "water_velocity",
+        ),
+        use_fused=use_fused,
+    )
+
+
 def get_rotation_rate(state: PoseUKFState, params: PoseUKFParams) -> jax.Array:
     """``getRotationRate`` (``src/PoseUKF.cpp:693-699``): bias- and
     earth-rate-compensated body rotation rate."""

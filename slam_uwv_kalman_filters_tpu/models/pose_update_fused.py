@@ -102,12 +102,14 @@ def _make_update_kernel(m: int):
             C.append(0.5 * acc)  # (53, B)
 
         # W = K·L  solves K·S·Kᵀ = W·Wᵀ without forming S⁻¹:
-        # K = C·S⁻¹ = C·L⁻ᵀ·L⁻¹ ⇒ W = K·L = C·L⁻ᵀ  (back-substitution on Lᵀ)
+        # K = C·S⁻¹ = C·L⁻ᵀ·L⁻¹ ⇒ W = K·L = C·L⁻ᵀ, i.e. L·Wᵀ = Cᵀ —
+        # forward substitution (ascending; the descending variant computes
+        # C·L⁻¹, which agrees only when S is (near-)diagonal)
         W = [None] * m
-        for i in reversed(range(m)):
+        for i in range(m):
             t = C[i]
-            for k in range(i + 1, m):
-                t = t - L[k][i] * W[k]
+            for k in range(i):
+                t = t - L[i][k] * W[k]
             W[i] = t * inv_diag[i]
         # y = L⁻¹·ν (forward substitution): m2 = |y|², and K·ν = W·y
         y = [None] * m
