@@ -83,12 +83,10 @@ def main(argv=None):
         """One simulated second: rate× (predict + masked DVL @5 Hz)."""
         def tick(carry, k):
             bs = carry
-            bs = jax.vmap(lambda s: pukf.predict(s, params, dt))(bs)
-            def upd(s, z):
-                s2, _ = pukf.update_velocity(s, params, z, jnp.eye(3, dtype=dtype) * 1e-4)
-                return s2
+            # fused Pallas predict + update on TPU f32 (generic path elsewhere)
+            bs = pukf.predict_bank(bs, params, dt)
+            bs2, _ = pukf.update_velocity_bank(bs, params, z_dvl, jnp.eye(3, dtype=dtype) * 1e-4)
             do_dvl = (k % int(args.rate / 5)) == 0
-            bs2 = jax.vmap(upd)(bs, z_dvl)
             bs = jax.tree_util.tree_map(lambda a, b: jnp.where(do_dvl, a, b), bs2, bs)
             return bs, None
         bs, _ = jax.lax.scan(tick, bs, jnp.arange(int(args.rate)))

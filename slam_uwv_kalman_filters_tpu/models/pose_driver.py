@@ -19,7 +19,15 @@ import jax.numpy as jnp
 from ..parallel.bank import select_where
 from . import pose_ukf as pukf
 
-__all__ = ["PoseInputs", "make_inputs", "pose_step", "run_trajectory", "TickOutput"]
+__all__ = [
+    "PoseInputs",
+    "make_inputs",
+    "pose_step",
+    "run_trajectory",
+    "pose_step_bank",
+    "run_trajectory_bank",
+    "TickOutput",
+]
 
 
 class PoseInputs(NamedTuple):
@@ -194,3 +202,84 @@ def run_trajectory(
     replay; vmap this over a bank of initial states / parameter sets for
     fleet-scale reprocessing."""
     return jax.lax.scan(lambda s, i: pose_step(s, params, i), state, inputs)
+
+
+def _masked_bank(bstate, valid, update_fn, *args):
+    new_state, _ = update_fn(*args)
+    sel = lambda a, b: jnp.where(valid[:, None, None] if a.ndim == 3 else valid[:, None], a, b)
+    return pukf.PoseUKFState(
+        mu=jax.tree_util.tree_map(sel, new_state.mu, bstate.mu),
+        cov=sel(new_state.cov, bstate.cov),
+        rotation_rate=bstate.rotation_rate,
+    )
+
+
+def pose_step_bank(
+    bstate: pukf.PoseUKFState, params: pukf.PoseUKFParams, inp: PoseInputs
+) -> tuple[pukf.PoseUKFState, TickOutput]:
+    """Bank-level tick: same integration order as :func:`pose_step`, but each
+    phase is one fused Pallas launch over the whole bank on the TPU f32 path
+    (``pukf.predict_bank`` / ``pukf.update_*_bank``). ``inp`` carries a
+    leading bank axis on every leaf (per-vehicle sensor streams)."""
+    bstate = bstate._replace(rotation_rate=inp.rotation_rate)
+    bstate = pukf.predict_bank(bstate, params, inp.dt[0])
+
+    bstate = _masked_bank(
+        bstate, inp.acc_valid, pukf.update_acceleration_bank, bstate, params, inp.acc, inp.acc_cov
+    )
+    bstate = _masked_bank(
+        bstate, inp.dvl_valid, pukf.update_velocity_bank, bstate, params, inp.dvl, inp.dvl_cov
+    )
+    bstate = _masked_bank(
+        bstate,
+        inp.pressure_valid,
+        pukf.update_pressure_bank,
+        bstate,
+        params,
+        inp.pressure,
+        inp.pressure_cov,
+    )
+    bstate = _masked_bank(
+        bstate, inp.xy_valid, pukf.update_xy_position_bank, bstate, params, inp.xy, inp.xy_cov
+    )
+    bstate = _masked_bank(
+        bstate,
+        inp.adcp_valid,
+        pukf.update_water_velocity_bank,
+        bstate,
+        params,
+        inp.adcp,
+        inp.adcp_cov,
+        inp.adcp_cell_weighting[0],
+    )
+    # body efforts need the per-instance compensated body rate -- generic path
+    def _efforts_one(s, z, r):
+        s2, _ = pukf.update_body_efforts(s, params, z, r)
+        return s2
+    eff_state = jax.vmap(_efforts_one)(bstate, inp.efforts, inp.efforts_cov)
+    sel = lambda a, b: jnp.where(
+        inp.efforts_valid[:, None, None] if a.ndim == 3 else inp.efforts_valid[:, None], a, b
+    )
+    bstate = pukf.PoseUKFState(
+        mu=jax.tree_util.tree_map(sel, eff_state.mu, bstate.mu),
+        cov=sel(eff_state.cov, bstate.cov),
+        rotation_rate=bstate.rotation_rate,
+    )
+    out = TickOutput(
+        position=bstate.mu.position,
+        orientation=bstate.mu.orientation,
+        velocity=bstate.mu.velocity,
+        cov_trace=jnp.trace(bstate.cov, axis1=-2, axis2=-1),
+    )
+    return bstate, out
+
+
+def run_trajectory_bank(
+    bstate: pukf.PoseUKFState, params: pukf.PoseUKFParams, inputs: PoseInputs
+) -> tuple[pukf.PoseUKFState, TickOutput]:
+    """Fleet-scale replay: ``lax.scan`` over ticks of :func:`pose_step_bank`
+    — inputs have shape (T, bank, ...); one compilation, fused kernels every
+    tick. Note: unlike ``vmap(run_trajectory)``, the prediction interval and
+    ADCP cell weighting are shared across the bank at each tick (the
+    per-vehicle sensor values/validity/covariances still vary)."""
+    return jax.lax.scan(lambda s, i: pose_step_bank(s, params, i), bstate, inputs)

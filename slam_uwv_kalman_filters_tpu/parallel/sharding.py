@@ -34,6 +34,7 @@ __all__ = [
     "ensemble_moments",
     "acceptance_rate",
     "with_bank_constraint",
+    "bank_shard_map",
 ]
 
 BANK_AXIS = "bank"
@@ -93,6 +94,32 @@ def with_bank_constraint(tree: Any, mesh: Mesh, axis: str = BANK_AXIS) -> Any:
 # ---------------------------------------------------------------------------
 # ensemble-statistics reduction points (the only cross-chip communication)
 # ---------------------------------------------------------------------------
+
+
+def bank_shard_map(fn, mesh: Mesh, axis: str = BANK_AXIS):
+    """Run a bank→bank step function per-device on its local bank shard.
+
+    The Pallas fast paths (``models.pose_fused`` / ``pose_update_fused``) are
+    custom calls that GSPMD cannot partition automatically — under plain
+    ``jit`` on a sharded bank XLA would gather the bank to one device first.
+    Wrapping the step in ``shard_map`` keeps every device running the fused
+    kernels on its local shard with zero communication (the bank axis is
+    embarrassingly parallel, SURVEY.md §2.4).
+
+    ``fn``'s inputs and outputs must all carry the bank as their leading
+    axis (ensemble reductions belong outside the wrapped step)."""
+    from jax.experimental.shard_map import shard_map
+
+    def wrapped(*bank_args):
+        in_specs = jax.tree_util.tree_map(lambda _: P(axis), bank_args)
+        out_specs = jax.tree_util.tree_map(
+            lambda _: P(axis), jax.eval_shape(fn, *bank_args)
+        )
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+        )(*bank_args)
+
+    return wrapped
 
 
 def ensemble_mean(tree: Any) -> Any:

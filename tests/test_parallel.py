@@ -139,3 +139,38 @@ def test_init_multihost_single_process():
 
     assert shmod.init_multihost() == 0
     assert shmod.init_multihost() == 0  # idempotent
+
+
+def test_bank_shard_map_runs_step_per_device():
+    """A bank-level PoseUKF step wrapped in bank_shard_map matches the
+    unsharded result on the 8-device CPU mesh."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
+    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod, sharding as shmod
+    from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
+
+    cfg = default_pose_ukf_config()
+    model = dyn.default_uwv_parameters()
+    state, params = pukf.init_from_pose(
+        imu_in_nwu_pos=jnp.zeros(3),
+        imu_in_nwu_pos_cov=jnp.eye(3) * 0.04,
+        imu_in_nwu_rot=jnp.array([1.0, 0, 0, 0]),
+        imu_in_nwu_rot_cov=jnp.eye(3) * 1e-4,
+        config=cfg,
+        model_parameters=model,
+    )
+    n = 16
+    bstate = bankmod.replicate(state, n)
+    mesh = shmod.make_mesh()
+    sharded = shmod.shard_bank(bstate, mesh)
+
+    def step(bs):
+        return pukf.predict_bank(bs, params, 0.05)
+
+    out_sharded = jax.jit(shmod.bank_shard_map(step, mesh))(sharded)
+    out_ref = step(bstate)
+    np.testing.assert_allclose(np.asarray(out_sharded.cov), np.asarray(out_ref.cov), atol=1e-12)
+    assert len(out_sharded.cov.sharding.device_set) == len(jax.devices())

@@ -209,3 +209,64 @@ def test_dvl_dropout_model_aiding():
     v_err_end = np.linalg.norm(np.asarray(outs.velocity[-1]) - truth["vel"][-1])
     # model aiding keeps velocity error bounded through 6 s of DVL dropout
     assert v_err_end < 0.2, f"velocity drift {v_err_end:.3f} m/s despite model aiding"
+
+
+def test_pose_step_bank_matches_vmap_pose_step():
+    """Bank-level tick (generic dispatch on CPU) == vmap of the per-instance
+    tick when dt/cell-weighting are shared."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_uwv_kalman_filters_tpu.models import pose_driver, pose_ukf as pukf
+    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
+    from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
+
+    rng = np.random.default_rng(5)
+    n = 3
+    cfg = default_pose_ukf_config()
+    model = dyn.default_uwv_parameters()
+    state, params = pukf.init_from_pose(
+        imu_in_nwu_pos=jnp.zeros(3),
+        imu_in_nwu_pos_cov=jnp.eye(3) * 0.04,
+        imu_in_nwu_rot=jnp.array([1.0, 0, 0, 0]),
+        imu_in_nwu_rot_cov=jnp.eye(3) * 1e-4,
+        config=cfg,
+        model_parameters=model,
+        imu_delta_t=0.01,
+    )
+    bstate = bankmod.replicate(state, n)
+    bstate = bstate._replace(
+        mu=bstate.mu._replace(velocity=jnp.asarray(rng.normal(scale=0.2, size=(n, 3))))
+    )
+    # one tick with per-vehicle streams: DVL valid for 2 of 3, pressure for 1
+    inp = pose_driver.PoseInputs(
+        dt=jnp.full((n,), 0.05),
+        rotation_rate=jnp.asarray(rng.normal(scale=0.02, size=(n, 3))),
+        acc=jnp.asarray(rng.normal(scale=0.1, size=(n, 3))),
+        acc_cov=jnp.tile(jnp.eye(3)[None] * 1e-2, (n, 1, 1)),
+        acc_valid=jnp.asarray([True, True, True]),
+        dvl=jnp.asarray(rng.normal(scale=0.2, size=(n, 3))),
+        dvl_cov=jnp.tile(jnp.eye(3)[None] * 1e-3, (n, 1, 1)),
+        dvl_valid=jnp.asarray([True, False, True]),
+        pressure=jnp.full((n, 1), 101325.0 + 2e5),
+        pressure_cov=jnp.tile(jnp.eye(1)[None] * 2500.0, (n, 1, 1)),
+        pressure_valid=jnp.asarray([True, False, False]),
+        xy=jnp.zeros((n, 2)),
+        xy_cov=jnp.tile(jnp.eye(2)[None], (n, 1, 1)),
+        xy_valid=jnp.asarray([False, True, False]),
+        adcp=jnp.zeros((n, 2)),
+        adcp_cov=jnp.tile(jnp.eye(2)[None] * 1e-2, (n, 1, 1)),
+        adcp_cell_weighting=jnp.full((n,), 0.7),
+        adcp_valid=jnp.asarray([True, True, False]),
+        efforts=jnp.asarray(rng.normal(scale=1.0, size=(n, 6))),
+        efforts_cov=jnp.tile(jnp.eye(6)[None] * 1e-1, (n, 1, 1)),
+        efforts_valid=jnp.asarray([False, True, True]),
+    )
+    out_bank, _ = pose_driver.pose_step_bank(bstate, params, inp)
+    out_ref, _ = jax.vmap(lambda s, i: pose_driver.pose_step(s, params, i))(bstate, inp)
+    np.testing.assert_allclose(np.asarray(out_bank.cov), np.asarray(out_ref.cov), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(out_bank.mu.position), np.asarray(out_ref.mu.position), atol=1e-12
+    )
