@@ -171,12 +171,19 @@ def bench_cpu_single(scenario="pose", iters=200):
         z = jnp.array([0.3, 0.0, 0.0], jnp.float64)
         r = jnp.eye(3, dtype=jnp.float64) * 1e-3
         jstep = jax.jit(step)
-        state = jax.block_until_ready(jstep(state, z, r))
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        # warm thoroughly, then take the best of 3 timed passes — the host is
+        # shared, so single-pass timings swing several-fold
+        for _ in range(20):
             state = jstep(state, z, r)
         jax.block_until_ready(state)
-        return iters / (time.perf_counter() - t0)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state = jstep(state, z, r)
+            jax.block_until_ready(state)
+            best = max(best, iters / (time.perf_counter() - t0))
+        return best
 
 
 def main():
