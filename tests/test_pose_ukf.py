@@ -98,14 +98,15 @@ def test_stationary_with_perfect_earthrate_gyro_keeps_heading():
     rr = mf.quat_rotate_inv(state.mu.orientation, w_e)  # perfect FOG reading
     state = pukf.integrate_rotation_rate(state, rr)
     q0 = np.asarray(state.mu.orientation)
+    step = jax.jit(lambda s: pukf.predict(s, params, 0.01))
     for _ in range(100):
-        state = pukf.predict(state, params, 0.01)
+        state = step(state)
     # orientation unchanged to high precision (1 s of propagation)
     assert abs(float(jnp.dot(state.mu.orientation, jnp.asarray(q0)))) > 1.0 - 1e-10
     # a zero-reading gyro instead yields a heading drift at earth rate
     state2, _ = make_filter()
     for _ in range(100):
-        state2 = pukf.predict(state2, params, 0.01)
+        state2 = step(state2)
     ang = np.linalg.norm(np.asarray(mf.so3_boxminus(state2.mu.orientation, jnp.asarray(q0))))
     np.testing.assert_allclose(ang, geo.EARTHW * 1.0, rtol=1e-3)
 
@@ -115,8 +116,9 @@ def test_imu_mechanization_integrates():
     state, params = make_filter()
     acc = jnp.array([0.2, -0.1, 0.05])
     state = state._replace(mu=state.mu._replace(acceleration=acc))
+    step = jax.jit(lambda s: pukf.predict(s, params, 0.01))
     for _ in range(100):
-        state = pukf.predict(state, params, 0.01)
+        state = step(state)
     np.testing.assert_allclose(np.asarray(state.mu.velocity), np.asarray(acc) * 1.0, atol=1e-6)
     # position ≈ ½at² (Euler: slightly less)
     np.testing.assert_allclose(
@@ -133,8 +135,9 @@ def test_markov_decay_toward_offsets():
     )
     bg_tau = float(params.gyro_bias_tau)
     wv_tau = float(params.water_velocity_tau)
+    step = jax.jit(lambda s: pukf.predict(s, params, 0.01))
     for _ in range(100):
-        state = pukf.predict(state, params, 0.01)
+        state = step(state)
     # e-fold decay factors over 1 s
     np.testing.assert_allclose(
         float(state.mu.bias_gyro[0]), 1e-3 * np.exp(-1.0 / bg_tau), rtol=1e-3

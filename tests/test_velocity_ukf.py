@@ -88,8 +88,9 @@ def test_velocity_converges_to_steady_state():
     state, params = make_filter()
     tau = jnp.array([65.0, 0, 0, 0, 0, 0.0])
     state = vukf.integrate_body_efforts(state, tau)
+    step = jax.jit(lambda s: vukf.predict(s, params, 0.05))
     for _ in range(600):
-        state = vukf.predict(state, params, 0.05)
+        state = step(state)
     # steady state: d_l*v + d_q*v² = 65 → v ≈ 1.0 (40v+25v²=65 ⇒ v=1)
     np.testing.assert_allclose(float(state.mu.velocity[0]), 1.0, atol=1e-3)
 
