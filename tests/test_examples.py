@@ -32,3 +32,11 @@ def test_icra18_mission_dvl_dropout_coasts():
     # 30 s of coasting on IMU+pressure (a third of the mission): drift must
     # stay bounded — ~0.5 m ATE over a ~70 m track (measured 0.52 m)
     assert ate < 1.0, f"dropout ATE {ate:.3f} m — model-aided coasting failed"
+
+
+def test_full_stack_auv_all_filters_track():
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import full_stack_auv
+
+    wall = full_stack_auv.main(seconds=10.0)
+    assert wall < 120.0
