@@ -59,7 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import geodesy as geo
-from ..ops.kernels import LANE_TILE
+from ..ops.kernels import LANE_TILE, equilibrated_sigma_columns
 
 if TYPE_CHECKING:  # circular-import guard: pose_ukf imports this lazily
     from .pose_ukf import PoseUKFParams, PoseUKFState
@@ -69,7 +69,13 @@ __all__ = ["predict_fused_banked", "MEAN_ITERS", "STORAGE_DIM", "TANGENT_DIM"]
 STORAGE_DIM = 54  # 53 tangent DOF + 1 (quaternion stores 4 for 3 DOF)
 TANGENT_DIM = 53
 NSIG = 2 * TANGENT_DIM + 1  # 107
-MEAN_ITERS = 4  # fixed-point quaternion-mean iterations (f32 converges in ≤3)
+# Fixed-point quaternion-mean iterations. The sigma-point set is ±symmetric
+# about the seed (point 0 = the prior mean), which makes the first Karcher
+# correction nearly exact: measured on ±column sets, the correction norm is
+# at f32 roundoff (~1e-8) by iteration 2 even for 140°-spread orientation
+# covariances, so 4 carries ≥2 iterations of slack (tests pin a 60°-spread
+# bank against the tol-driven generic mean).
+MEAN_ITERS = 4
 
 # scalar-operand indices (SMEM (14, 1) array)
 _S_DT = 0
@@ -166,25 +172,15 @@ def _pose_predict_kernel(
     mu = mu_ref[:]  # (54, B)
 
     # ---- phase A: equilibrated Cholesky -> sigma deltas in y_ref ---------
-    # (the ops/kernels.py sigma-deltas kernel inlined; deltas land directly
-    # in the rows the propagated points will overwrite, tangent cols 0:53)
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
-    tiny = jnp.asarray(jnp.finfo(mu.dtype).tiny, mu.dtype)
-    diag = jnp.concatenate([a_ref[j, j : j + 1, :] for j in range(n)], axis=0)
-    dvec = jnp.sqrt(jnp.maximum(diag, tiny))
-    dinv = 1.0 / dvec
-    for j in range(n):
-        c_ref[j] = a_ref[j] * (dinv[j : j + 1, :] * dinv)
+    # (shared core with the standalone sigma-delta kernel, ops/kernels.py;
+    # deltas land directly in the rows the propagated points will overwrite)
     y_ref[0, 0:53] = jnp.zeros((n, b), mu.dtype)
-    for j in range(n):
-        col = c_ref[j]
-        dj = jnp.sqrt(col[j : j + 1])
-        below = jnp.where(row > j, col * (1.0 / dj), jnp.zeros((), col.dtype))
-        final = jnp.where(row == j, dj, below) * dvec
+
+    def _write_column(j, final):
         y_ref[2 * j + 1, 0:53] = final
         y_ref[2 * j + 2, 0:53] = -final
-        if j + 1 < n:
-            c_ref[j + 1 :] = c_ref[j + 1 :] - below[j + 1 :][:, None, :] * below[None, :, :]
+
+    equilibrated_sigma_columns(a_ref, c_ref, _write_column)
 
     # ---- phase B: boxplus + process model, chunked over sigma points -----
     # (src/PoseUKF.cpp:12-84; chunking bounds the VMEM stack to ~half the

@@ -119,30 +119,35 @@ def _make_update_kernel(m: int):
                 t = t - L[i][k] * y[k]
             y[i] = t * inv_diag[i]
         m2 = sum(y[i] * y[i] for i in range(m))  # (1, B)
-        accepted = jnp.logical_or(m2 <= thr, thr < 0.0).astype(dz.dtype)  # (1, B)
+        # Gate via SELECTS, not arithmetic masking: a numerically non-SPD S
+        # (NaN through sqrt) must leave rejected instances untouched, exactly
+        # like the generic jnp.where path — NaN·0 is NaN, so multiplication
+        # would corrupt the prior.
+        acc_b = jnp.logical_or(m2 <= thr, thr < 0.0)  # (1, B) bool
         m2_ref[:] = m2
-        acc_ref[:] = accepted
+        acc_ref[:] = acc_b.astype(dz.dtype)
 
-        # state correction: corr = K·ν = Σ W[i]·y[i] (53, B), masked boxplus
-        corr = sum(W[i] * y[i] for i in range(m)) * accepted
+        # state correction: corr = K·ν = Σ W[i]·y[i] (53, B), gated boxplus
+        corr = sum(W[i] * y[i] for i in range(m))
         mu = mu_ref[:]
-        muo_ref[0:3] = mu[0:3] + corr[0:3]
-        muo_ref[7:54] = mu[7:54] + corr[6:53]
+        muo_ref[0:3] = jnp.where(acc_b, mu[0:3] + corr[0:3], mu[0:3])
+        muo_ref[7:54] = jnp.where(acc_b, mu[7:54] + corr[6:53], mu[7:54])
         ew, ex, ey, ez = _qexp(corr[3:4][None], corr[4:5][None], corr[5:6][None])
         qw, qx, qy, qz = _qnorm4(
             *_qmul(mu[3:4][None], mu[4:5][None], mu[5:6][None], mu[6:7][None], ew, ex, ey, ez)
         )
-        muo_ref[3:4] = qw[0]
-        muo_ref[4:5] = qx[0]
-        muo_ref[5:6] = qy[0]
-        muo_ref[6:7] = qz[0]
+        muo_ref[3:4] = jnp.where(acc_b, qw[0], mu[3:4])
+        muo_ref[4:5] = jnp.where(acc_b, qx[0], mu[4:5])
+        muo_ref[5:6] = jnp.where(acc_b, qy[0], mu[5:6])
+        muo_ref[6:7] = jnp.where(acc_b, qz[0], mu[6:7])
 
-        # covariance downdate: cov − Σᵢ Wᵢ⊗Wᵢ (exactly symmetric), gate-masked
+        # covariance downdate: cov − Σᵢ Wᵢ⊗Wᵢ (exactly symmetric), gated
         T = None
         for i in range(m):
             o = W[i][:, None, :] * W[i][None, :, :]  # (53, 53, B)
             T = o if T is None else T + o
-        covo_ref[:] = cov_ref[:] - T * accepted[None]
+        cov_prior = cov_ref[:]
+        covo_ref[:] = jnp.where(acc_b[None], cov_prior - T, cov_prior)
 
     return kernel
 
@@ -177,23 +182,16 @@ def _pose_update_lanes(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr, *, interpret
     )(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr)
 
 
-# tangent-row slice of each PoseState field (MTK layout, SURVEY.md §2.2)
-_FIELD_ROWS = {
-    "position": (0, 3),
-    "orientation": (3, 6),
-    "velocity": (6, 9),
-    "acceleration": (9, 12),
-    "bias_gyro": (12, 15),
-    "bias_acc": (15, 18),
-    "gravity": (18, 19),
-    "inertia": (19, 28),
-    "lin_damping": (28, 37),
-    "quad_damping": (37, 46),
-    "water_velocity": (46, 48),
-    "water_velocity_below": (48, 50),
-    "bias_adcp": (50, 52),
-    "water_density": (52, 53),
-}
+def _field_rows() -> dict[str, tuple[int, int]]:
+    """Tangent-row slice of each PoseState field, derived from the single
+    source of truth (``POSE_MANIFOLD`` — never a second hand-written copy of
+    the MTK layout that could silently desync)."""
+    from .pose_ukf import POSE_MANIFOLD
+
+    return {
+        f.name: (POSE_MANIFOLD.block(f.name).start, POSE_MANIFOLD.block(f.name).stop)
+        for f in POSE_MANIFOLD.fields
+    }
 
 
 def update_fused_banked(
@@ -213,7 +211,6 @@ def update_fused_banked(
     reads), so only a ``(B, 107, Σdep-dims)`` tensor leaves the kernel
     pipeline."""
     from ..ops import manifolds as mf
-    from . import pose_ukf as pukf
 
     dtype = bstate.cov.dtype
     nb = bstate.cov.shape[0]
@@ -233,7 +230,8 @@ def update_fused_banked(
     deltas_t = _sigma_deltas_lanes(cov_t, interpret=interpret)  # (107, 53, nb)
 
     # measurement model on the dependent tangent rows only (bank-first, small)
-    rows = sorted((_FIELD_ROWS[f], f) for f in deps)
+    field_rows = _field_rows()
+    rows = sorted((field_rows[f], f) for f in deps)
     d_small = jnp.concatenate(
         [deltas_t[:, lo:hi, :] for (lo, hi), _ in rows], axis=1
     )  # (107, k, nb)

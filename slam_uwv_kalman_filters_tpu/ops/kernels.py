@@ -86,19 +86,14 @@ def _cholesky_lanes(x_t: jax.Array, *, interpret: bool) -> jax.Array:
     )(x_t)
 
 
-def _sigma_deltas_kernel(a_ref, out_ref, s_ref):
-    """Fused equilibrated Cholesky → interleaved sigma-point deltas.
-
-    a_ref: raw covariance tile in (col, row, B) layout (B = lanes).
-    out_ref: (2n+1, n, B) ukfom-ordered tangent deltas — row 0 zero, rows
-    2j+1 / 2j+2 the ±j-th column of L = D·chol(D⁻¹·A·D⁻¹), D = √diag(A).
-    s_ref: (n, n, B) scratch holding the equilibrated Schur complement.
-
-    Fusing the diagonal equilibration, the factorization and the ±column
-    interleave into one kernel removes two full XLA passes over the bank and
-    the (bank, 2n, n) stack/reshape relayout that otherwise costs two
-    materializations of the delta tensor (~1.2 ms per 8192-bank call).
-    """
+def equilibrated_sigma_columns(a_ref, s_ref, write_column) -> None:
+    """Shared core of the sigma-delta kernels: equilibrated right-looking
+    Cholesky over an (n, n, B) (col, row, B) covariance tile, emitting the
+    un-equilibrated columns of L = D·chol(D⁻¹·A·D⁻¹), D = √diag(A), through
+    ``write_column(j, final)`` as each finishes. Used by both the standalone
+    sigma-delta kernel below and the fused PoseUKF predict kernel
+    (``models/pose_fused.py``) so a numerical change propagates to both.
+    ``s_ref``: (n, n, B) scratch for the equilibrated Schur complement."""
     n, _, b = a_ref.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
     tiny = jnp.asarray(jnp.finfo(a_ref.dtype).tiny, a_ref.dtype)
@@ -107,16 +102,36 @@ def _sigma_deltas_kernel(a_ref, out_ref, s_ref):
     dinv = 1.0 / dvec
     for j in range(n):
         s_ref[j] = a_ref[j] * (dinv[j : j + 1, :] * dinv)
-    out_ref[0] = jnp.zeros((n, b), a_ref.dtype)
     for j in range(n):
         col = s_ref[j]  # (n, B) equilibrated column j, fully downdated
         dj = jnp.sqrt(col[j : j + 1])
         below = jnp.where(row > j, col * (1.0 / dj), jnp.zeros((), col.dtype))
         final = jnp.where(row == j, dj, below) * dvec  # un-equilibrated L[:, j]
-        out_ref[2 * j + 1] = final
-        out_ref[2 * j + 2] = -final
+        write_column(j, final)
         if j + 1 < n:
             s_ref[j + 1 :] = s_ref[j + 1 :] - below[j + 1 :][:, None, :] * below[None, :, :]
+
+
+def _sigma_deltas_kernel(a_ref, out_ref, s_ref):
+    """Fused equilibrated Cholesky → interleaved sigma-point deltas.
+
+    a_ref: raw covariance tile in (col, row, B) layout (B = lanes).
+    out_ref: (2n+1, n, B) ukfom-ordered tangent deltas — row 0 zero, rows
+    2j+1 / 2j+2 the ±j-th column of L.
+
+    Fusing the diagonal equilibration, the factorization and the ±column
+    interleave into one kernel removes two full XLA passes over the bank and
+    the (bank, 2n, n) stack/reshape relayout that otherwise costs two
+    materializations of the delta tensor (~1.2 ms per 8192-bank call).
+    """
+    n, _, b = a_ref.shape
+    out_ref[0] = jnp.zeros((n, b), a_ref.dtype)
+
+    def write_column(j, final):
+        out_ref[2 * j + 1] = final
+        out_ref[2 * j + 2] = -final
+
+    equilibrated_sigma_columns(a_ref, s_ref, write_column)
 
 
 def _sigma_deltas_lanes(x_t: jax.Array, *, interpret: bool) -> jax.Array:

@@ -193,3 +193,31 @@ def test_fused_update_all_measurement_models():
             )
     finally:
         puf.update_fused_banked = orig
+
+
+def test_fused_predict_large_orientation_spread():
+    """Near-unknown heading (60° 1σ): the fixed-iteration fused mean must
+    still match the tolerance-driven generic mean (the ±symmetric sigma set
+    converges in ~2 Karcher iterations regardless of spread)."""
+    import math
+
+    cfg = default_pose_ukf_config()
+    model = dyn.default_uwv_parameters(dtype=jnp.float32)
+    state, params = pukf.init_from_pose(
+        imu_in_nwu_pos=jnp.zeros(3, jnp.float32),
+        imu_in_nwu_pos_cov=jnp.eye(3, dtype=jnp.float32) * 0.04,
+        imu_in_nwu_rot=jnp.array([1.0, 0, 0, 0], jnp.float32),
+        imu_in_nwu_rot_cov=jnp.eye(3, dtype=jnp.float32) * math.radians(60.0) ** 2,
+        config=cfg,
+        model_parameters=model,
+        imu_delta_t=0.01,
+        dtype=jnp.float32,
+    )
+    bstate = bankmod.replicate(state, 2)
+    bstate = bstate._replace(rotation_rate=jnp.zeros((2, 3), jnp.float32))
+    ref = jax.vmap(lambda s: pukf.predict(s, params, 0.1))(bstate)
+    out = pose_fused.predict_fused_banked(bstate, params, 0.1, interpret=True)
+    a, b = np.asarray(out.mu.orientation[0]), np.asarray(ref.mu.orientation[0])
+    b = b if np.dot(a, b) >= 0 else -b
+    np.testing.assert_allclose(a, b, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), rtol=1e-3, atol=1e-5)
