@@ -40,6 +40,8 @@ def parse_args(argv=None):
     p.add_argument("--dvl-dropout", default=None, metavar="T0,T1",
                    help="DVL outage window in seconds (e.g. 60,120)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--smooth", action="store_true",
+                   help="also run the unscented RTS smoother and report smoothed ATE")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     return p.parse_args(argv)
 
@@ -163,6 +165,16 @@ def main(argv=None):
     jax.block_until_ready(outs)
     compile_and_run = time.perf_counter() - t0
 
+    smoothed_pos = None
+    if args.smooth:
+        from slam_uwv_kalman_filters_tpu.models import pose_smoother
+
+        t1 = time.perf_counter()
+        sm = jax.jit(pose_smoother.run_trajectory_smoothed)(state, params, inputs)
+        jax.block_until_ready(sm.smoothed_cov)
+        print(f"smoother wall time (incl. compile): {time.perf_counter() - t1:.1f}s")
+        smoothed_pos = np.asarray(sm.smoothed_mu.position)
+
     est_pos = np.asarray(outs.position)
     est_yaw = 2 * np.arctan2(np.asarray(outs.orientation)[:, 3], np.asarray(outs.orientation)[:, 0])
     ate = float(metrics.ate_rmse(jnp.asarray(est_pos), jnp.asarray(sim["pos"], est_pos.dtype)))
@@ -176,6 +188,10 @@ def main(argv=None):
     print(f"ATE RMSE:          {ate:.3f} m  ({100 * ate / dist:.3f}% of distance)")
     print(f"final drift:       {drift:.3f} m  ({100 * drift / dist:.3f}% of distance)")
     print(f"heading error:     mean {yaw_err.mean():.3f}°, max {yaw_err.max():.3f}°")
+    if smoothed_pos is not None:
+        s_ate = float(metrics.ate_rmse(jnp.asarray(smoothed_pos), jnp.asarray(sim["pos"], smoothed_pos.dtype)))
+        print(f"smoothed ATE RMSE: {s_ate:.3f} m  ({100 * s_ate / dist:.3f}% of distance)")
+        return s_ate, dist
     return ate, dist
 
 

@@ -477,15 +477,17 @@ def _diag_mask(names: tuple[str, ...], dtype) -> jax.Array:
     return jnp.diag(d)
 
 
-def predict(state: PoseUKFState, params: PoseUKFParams, dt) -> PoseUKFState:
-    """``predictionStepImpl`` (``src/PoseUKF.cpp:446-474``): rotate the
-    orientation noise into the nav frame, inflate water-current noise with the
-    z-weighted speed, scale the whole Q by dt², then unscented-predict.
+def assemble_process_noise(mu: PoseState, params: PoseUKFParams, dt) -> jax.Array:
+    """Per-step process noise of ``predictionStepImpl``
+    (``src/PoseUKF.cpp:448-460``): rotate the orientation noise into the nav
+    frame with the pre-predict orientation, inflate the water-current noise
+    with the z-weighted speed, scale the whole Q by dt².
 
-    The per-instance Q is assembled densely (selector-matrix embedding and a
-    diagonal mask — both trace-time constants) so a vmapped bank sees batched
-    matmuls, never per-instance scatters."""
-    rot = mf.quat_to_matrix(state.mu.orientation)
+    Assembled densely (selector-matrix embedding and a diagonal mask — both
+    trace-time constants) so a vmapped bank sees batched matmuls, never
+    per-instance scatters. Shared by :func:`predict` and the smoother's
+    backward pass (``models/pose_smoother.py``)."""
+    rot = mf.quat_to_matrix(mu.orientation)
     q0 = params.process_noise
     so = POSE_MANIFOLD.block("orientation")
     e_rot = _block_selector("orientation", q0.dtype)
@@ -493,12 +495,17 @@ def predict(state: PoseUKFState, params: PoseUKFParams, dt) -> PoseUKFState:
     ori_zero = 1.0 - e_rot @ jnp.ones((3, 3), q0.dtype) @ e_rot.T
     ori_new = e_rot @ (rot @ q0[so, so] @ rot.T) @ e_rot.T
 
-    scaled_velocity = state.mu.velocity * jnp.asarray([1.0, 1.0, 10.0], state.mu.velocity.dtype)
+    scaled_velocity = mu.velocity * jnp.asarray([1.0, 1.0, 10.0], mu.velocity.dtype)
     wv_extra = params.water_velocity_scale * jnp.dot(scaled_velocity, scaled_velocity) * dt
     wv_mask = _diag_mask(("water_velocity", "water_velocity_below"), q0.dtype)
 
-    q = dt**2 * (q0 * ori_zero + ori_new + wv_extra * wv_mask)
+    return dt**2 * (q0 * ori_zero + ori_new + wv_extra * wv_mask)
 
+
+def predict(state: PoseUKFState, params: PoseUKFParams, dt) -> PoseUKFState:
+    """``predictionStepImpl`` (``src/PoseUKF.cpp:446-474``): assemble the
+    state-dependent Q, then unscented-predict through the process model."""
+    q = assemble_process_noise(state.mu, params, dt)
     mu, cov = ukf.predict(
         POSE_MANIFOLD, state.mu, state.cov, lambda chi: _process_model(chi, state.rotation_rate, params, dt), q
     )

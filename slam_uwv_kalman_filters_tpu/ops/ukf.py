@@ -45,6 +45,7 @@ __all__ = [
     "sigma_points",
     "predict",
     "update",
+    "smooth_step",
 ]
 
 # χ² gate thresholds for 2 degrees of freedom (src/PoseUKF.cpp:265,278).
@@ -215,3 +216,50 @@ def update(
     mu_out = jax.tree_util.tree_map(select, mu_new, mu)
     cov_out = select(cov_new, cov)
     return mu_out, cov_out, UpdateInfo(mahalanobis2=m2, accepted=accepted, innovation=innovation)
+
+
+def smooth_step(
+    manifold: ProductManifold,
+    mu_f: Any,
+    cov_f: jax.Array,
+    f: Callable[[Any], Any],
+    process_noise: jax.Array,
+    mu_s_next: Any,
+    cov_s_next: jax.Array,
+    *,
+    jitter: float = 0.0,
+    mean_iters: int = 64,
+    mean_tol: Optional[float] = None,
+) -> tuple[Any, jax.Array]:
+    """One backward unscented Rauch–Tung–Striebel step on a manifold.
+
+    Combines the filtered (μᵏ, Pᵏ) with the already-smoothed next state
+    (μˢₖ₊₁, Pˢₖ₊₁) through the same process model ``f`` the forward pass used
+    (Särkkä's URTS recursion, expressed in ⊞/⊟ local coordinates):
+
+        χᵢ = μᵏ ⊞ δᵢ,  Υᵢ = f(χᵢ)
+        μ⁻ = mean(Υ),  P⁻ = ½ΣDDᵀ + Q,  C = ½ΣδDᵀ
+        G  = C·(P⁻)⁻¹
+        μˢₖ = μᵏ ⊞ G·(μˢₖ₊₁ ⊟ μ⁻)
+        Pˢₖ = Pᵏ + G·(Pˢₖ₊₁ − P⁻)·Gᵀ
+
+    The reference library has no smoother — this is the TPU-native offline
+    reprocessing layer (survey post-processing) built on the same predict
+    machinery; it reduces to the classical RTS smoother on linear-Gaussian
+    problems (pinned by ``tests/test_smoother.py``). Runs under ``vmap``
+    (banks) and inside a reverse ``lax.scan`` (whole trajectories)."""
+    if mean_tol is None:
+        mean_tol = _default_tol(cov_f.dtype)
+    deltas = sigma_point_deltas(cov_f, jitter=jitter)  # (2n+1, n)
+    X = jax.vmap(lambda d: manifold.boxplus(mu_f, d))(deltas)
+    Y = jax.vmap(f)(X)
+    mu_pred = manifold.mean(Y, max_iters=mean_iters, tol=mean_tol)
+    D = jax.vmap(lambda y: manifold.boxminus(y, mu_pred))(Y)
+    cov_pred = _symmetrize(0.5 * _mm(D.T, D) + process_noise)
+    C = 0.5 * _mm(deltas.T, D)  # (n, n) cross-covariance cov(x_k, x_pred)
+
+    # G = C·P⁻⁻¹ via an SPD solve (P⁻ Gᵀ = Cᵀ)
+    G = solve_spd(cov_pred, C.T).T
+    mu_s = manifold.boxplus(mu_f, _mm(G, manifold.boxminus(mu_s_next, mu_pred)))
+    cov_s = _symmetrize(cov_f + _mm(_mm(G, cov_s_next - cov_pred), G.T))
+    return mu_s, cov_s
