@@ -40,3 +40,11 @@ def test_full_stack_auv_all_filters_track():
 
     wall = full_stack_auv.main(seconds=10.0)
     assert wall < 120.0
+
+
+def test_noise_tuning_sweep_brackets_consistency():
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import noise_tuning_sweep
+
+    best = noise_tuning_sweep.main(candidates=6, seconds=10.0)
+    assert 0.05 < best < 5.0
