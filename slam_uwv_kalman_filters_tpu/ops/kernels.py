@@ -34,7 +34,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .linalg_small import UNROLL_LIMIT, cholesky_unrolled
 
-__all__ = ["cholesky_banked", "sigma_deltas_banked", "sigma_deltas_fast", "LANE_TILE"]
+__all__ = [
+    "cholesky_banked",
+    "sigma_deltas_banked",
+    "sigma_deltas_fast",
+    "solve_spd_banked",
+    "solve_spd_fast",
+    "LANE_TILE",
+]
 
 LANE_TILE = 128  # instances per lane group (hardware lane width)
 
@@ -278,3 +285,110 @@ def _cholesky_fast_vmap(axis_size, in_batched, cov):
     flat = cov.reshape((-1,) + cov.shape[-2:])
     out = cholesky_banked(flat).reshape(lead + cov.shape[-2:])
     return out, True
+
+
+def _solve_spd_kernel(a_ref, b_ref, out_ref, l_ref, s_ref):
+    """Banked SPD solve X = A⁻¹B over (col, row, B)-layout tiles.
+
+    One launch fuses the equilibrated Cholesky (shared core above) with the
+    two statically-unrolled triangular substitutions — the "Kalman-gain
+    triangular solves" kernel of the north-star list. Right-looking forward
+    pass (the update of trailing rows mirrors the Cholesky downdate), then an
+    inner-product backward pass on Lᵀ using the same stored columns.
+
+    a_ref: (n, n, B) SPD matrices; b_ref: (n, k, B) right-hand sides;
+    l_ref: (n, n, B) scratch for the factor columns; s_ref: Schur scratch.
+    """
+    n = a_ref.shape[0]
+
+    def write_column(j, col):
+        l_ref[j] = col
+
+    equilibrated_sigma_columns(a_ref, s_ref, write_column)
+    # forward substitution  L·Y = B  (Y accumulates in out_ref)
+    out_ref[:] = b_ref[:]
+    for j in range(n):
+        col = l_ref[j]  # (n, B) column j of L
+        yj = out_ref[j] * (1.0 / col[j : j + 1])  # (k, B)
+        out_ref[j] = yj
+        if j + 1 < n:
+            out_ref[j + 1 :] = out_ref[j + 1 :] - col[j + 1 :][:, None, :] * yj[None]
+    # backward substitution  Lᵀ·X = Y  (in place, descending)
+    for j in reversed(range(n)):
+        col = l_ref[j]
+        if j + 1 < n:
+            s = jnp.sum(col[j + 1 :][:, None, :] * out_ref[j + 1 :], axis=0)
+            out_ref[j] = (out_ref[j] - s) * (1.0 / col[j : j + 1])
+        else:
+            out_ref[j] = out_ref[j] * (1.0 / col[j : j + 1])
+
+
+def _solve_spd_lanes(a_t: jax.Array, b_t: jax.Array, *, interpret: bool) -> jax.Array:
+    n, _, nb = a_t.shape
+    k = b_t.shape[1]
+    return pl.pallas_call(
+        _solve_spd_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, k, nb), a_t.dtype),
+        grid=(nb // LANE_TILE,),
+        in_specs=[
+            pl.BlockSpec((n, n, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, k, LANE_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANE_TILE), a_t.dtype),
+            pltpu.VMEM((n, n, LANE_TILE), a_t.dtype),
+        ],
+        interpret=interpret,
+    )(a_t, b_t)
+
+
+@partial(jax.jit, static_argnames=("force_pallas",))
+def solve_spd_banked(spd: jax.Array, rhs: jax.Array, force_pallas: bool = False) -> jax.Array:
+    """X = A⁻¹B for a batch of SPD systems, TPU-optimal.
+
+    ``spd`` (N, n, n), ``rhs`` (N, n, k) → (N, n, k). Large-n banks on TPU go
+    through one fused Pallas launch (equilibrated Cholesky + both triangular
+    substitutions); small n uses the fully-unrolled scalar path and other
+    configurations LAPACK/XLA ``cho_solve``.
+    """
+    from . import linalg_small
+
+    n = spd.shape[-1]
+    if n <= UNROLL_LIMIT:
+        return jax.vmap(linalg_small.solve_spd)(spd, rhs)
+    use_pallas = force_pallas or (_on_tpu() and spd.shape[0] >= 64)
+    if not use_pallas:
+        f = jax.scipy.linalg.cho_factor(spd, lower=True)
+        return jax.scipy.linalg.cho_solve(f, rhs)
+    nb = spd.shape[0]
+    pad = (-nb) % LANE_TILE
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=spd.dtype), (pad, n, n))
+        spd = jnp.concatenate([spd, eye], axis=0)
+        rhs = jnp.concatenate([rhs, jnp.zeros((pad, *rhs.shape[1:]), rhs.dtype)], axis=0)
+    a_t = jnp.transpose(spd, (2, 1, 0))
+    b_t = jnp.transpose(rhs, (1, 2, 0))
+    x_t = _solve_spd_lanes(a_t, b_t, interpret=not _on_tpu())
+    return jnp.transpose(x_t, (2, 0, 1))[:nb]
+
+
+@jax.custom_batching.custom_vmap
+def solve_spd_fast(spd: jax.Array, rhs: jax.Array) -> jax.Array:
+    """A⁻¹B for one SPD system; bank-optimal under vmap (one fused Pallas
+    launch per bank on TPU). Falls back to the unrolled / LAPACK paths."""
+    return solve_spd_banked(spd[None], rhs[None])[0]
+
+
+@solve_spd_fast.def_vmap
+def _solve_spd_fast_vmap(axis_size, in_batched, spd, rhs):
+    del axis_size
+    spd_b, rhs_b = in_batched
+    if not spd_b and not rhs_b:
+        return solve_spd_banked(spd[None], rhs[None])[0], False
+    nb = spd.shape[0] if spd_b else rhs.shape[0]
+    if not spd_b:
+        spd = jnp.broadcast_to(spd[None], (nb, *spd.shape))
+    if not rhs_b:
+        rhs = jnp.broadcast_to(rhs[None], (nb, *rhs.shape))
+    return solve_spd_banked(spd, rhs), True

@@ -33,7 +33,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .kernels import cholesky_fast, sigma_deltas_fast
+from .kernels import cholesky_fast, sigma_deltas_fast, solve_spd_fast
 from .linalg_small import solve_spd
 from .manifolds import ProductManifold
 
@@ -258,8 +258,9 @@ def smooth_step(
     cov_pred = _symmetrize(0.5 * _mm(D.T, D) + process_noise)
     C = 0.5 * _mm(deltas.T, D)  # (n, n) cross-covariance cov(x_k, x_pred)
 
-    # G = C·P⁻⁻¹ via an SPD solve (P⁻ Gᵀ = Cᵀ)
-    G = solve_spd(cov_pred, C.T).T
+    # G = C·P⁻⁻¹ via an SPD solve (P⁻ Gᵀ = Cᵀ); the banked Pallas solver
+    # routes a vmapped backward pass into one fused launch per bank on TPU
+    G = solve_spd_fast(cov_pred, C.T).T
     mu_s = manifold.boxplus(mu_f, _mm(G, manifold.boxminus(mu_s_next, mu_pred)))
     cov_s = _symmetrize(cov_f + _mm(_mm(G, cov_s_next - cov_pred), G.T))
     return mu_s, cov_s
