@@ -188,29 +188,31 @@ def _pose_predict_kernel(
     coeff = coeff_ref[:]
     offs = offs_ref[:]
     rr = rr_ref[:]  # (3, B)
+    # Scalar component math uses 2D (k, B) arrays throughout: a (k, 1, B)
+    # shape tiles as (1, 128) minor dims -- 1 of 8 sublanes busy -- while
+    # (k, B) packs the sigma axis onto sublanes at full VPU occupancy.
     for lo, hi in ((0, 54), (54, NSIG)):
         d = y_ref[lo:hi, 0:53]  # (k, 53, B) tangent deltas of this chunk
         # boxplus: X = mu [+] delta
         x_pos = mu[0:3][None] + d[:, 0:3]
         x_flat = mu[7:54][None] + d[:, 6:53]  # (k, 47, B)
-        ew, ex, ey, ez = _qexp(d[:, 3:4], d[:, 4:5], d[:, 5:6])
+        ew, ex, ey, ez = _qexp(d[:, 3], d[:, 4], d[:, 5])  # (k, B) each
         qw, qx, qy, qz = _qmul(
-            mu[3:4][None], mu[4:5][None], mu[5:6][None], mu[6:7][None], ew, ex, ey, ez
+            mu[3:4], mu[4:5], mu[5:6], mu[6:7], ew, ex, ey, ez
         )
-        qw, qx, qy, qz = _qnorm4(qw, qx, qy, qz)  # (k, 1, B) each
+        qw, qx, qy, qz = _qnorm4(qw, qx, qy, qz)  # (k, B) each
         x_vel = x_flat[:, 0:3]  # velocity rows (storage 7:10)
         x_acc = x_flat[:, 3:6]
-        x_bg = x_flat[:, 6:9]
         # position [+] velocity*dt
         y_pos = x_pos + dt * x_vel
         # latitude at the (per-sigma-point) position -> earth rate (NWU)
-        lat = f1(_S_LAT0) + x_pos[:, 0:1] * f1(_S_MRADINV)
+        lat = f1(_S_LAT0) + x_pos[:, 0] * f1(_S_MRADINV)  # (k, B)
         er_x = f1(_S_EARTHW) * jnp.cos(lat)
         er_z = f1(_S_EARTHW) * jnp.sin(lat)
         # body rate minus gyro bias, rotated to nav: R(q)*v via Rodrigues
-        vx = rr[0:1][None] - x_bg[:, 0:1]
-        vy = rr[1:2][None] - x_bg[:, 1:2]
-        vz = rr[2:3][None] - x_bg[:, 2:3]
+        vx = rr[0:1] - x_flat[:, 6]  # bias_gyro rows (storage 13:16)
+        vy = rr[1:2] - x_flat[:, 7]
+        vz = rr[2:3] - x_flat[:, 8]
         tx = 2.0 * (qy * vz - qz * vy)
         ty = 2.0 * (qz * vx - qx * vz)
         tz = 2.0 * (qx * vy - qy * vx)
@@ -226,26 +228,29 @@ def _pose_predict_kernel(
         y_ref[lo:hi, 7:10] = x_vel + dt * x_acc
         y_ref[lo:hi, 10:54] = y_flat[:, 3:]
         y_ref[lo:hi, 0:3] = y_pos
-        y_ref[lo:hi, 3:4] = yqw
-        y_ref[lo:hi, 4:5] = yqx
-        y_ref[lo:hi, 5:6] = yqy
-        y_ref[lo:hi, 6:7] = yqz
+        y_ref[lo:hi, 3] = yqw
+        y_ref[lo:hi, 4] = yqx
+        y_ref[lo:hi, 5] = yqy
+        y_ref[lo:hi, 6] = yqz
 
     # ---- phase C: manifold mean (flats closed-form, quaternion iterative) -
     inv_n = 1.0 / NSIG
     mean_flat = jnp.sum(y_ref[:, 7:54], axis=0) * inv_n  # (47, B)
     mean_pos = jnp.sum(y_ref[:, 0:3], axis=0) * inv_n  # (3, B)
-    yqw = y_ref[:, 3:4]
-    yqx = y_ref[:, 4:5]
-    yqy = y_ref[:, 5:6]
-    yqz = y_ref[:, 6:7]
-    mw, mx, my, mz = yqw[0], yqx[0], yqy[0], yqz[0]  # seed = point 0 (ukfom)
+    yqw = y_ref[:, 3, :]  # (107, B) -- sigma axis on sublanes, full VPU
+    yqx = y_ref[:, 4, :]
+    yqy = y_ref[:, 5, :]
+    yqz = y_ref[:, 6, :]
+    # seed = point 0 (ukfom convention), as (1, B) broadcasting rows
+    mw, mx, my, mz = yqw[0:1], yqx[0:1], yqy[0:1], yqz[0:1]
     for _ in range(MEAN_ITERS):
         # delta_i = Log(m^-1 x q_i) -- conj(m) against all 107 points
-        lw, lx, ly, lz = _qmul(mw[None], -mx[None], -my[None], -mz[None], yqw, yqx, yqy, yqz)
+        lw, lx, ly, lz = _qmul(mw, -mx, -my, -mz, yqw, yqx, yqy, yqz)
         rx, ry, rz = _qlog(lw, lx, ly, lz)
         gw, gx, gy, gz = _qexp(
-            jnp.sum(rx, axis=0) * inv_n, jnp.sum(ry, axis=0) * inv_n, jnp.sum(rz, axis=0) * inv_n
+            jnp.sum(rx, axis=0, keepdims=True) * inv_n,
+            jnp.sum(ry, axis=0, keepdims=True) * inv_n,
+            jnp.sum(rz, axis=0, keepdims=True) * inv_n,
         )
         mw, mx, my, mz = _qnorm4(*_qmul(mw, mx, my, mz, gw, gx, gy, gz))
 
@@ -257,13 +262,13 @@ def _pose_predict_kernel(
     muo_ref[7:54] = mean_flat
 
     # ---- phase D: deviations D = Y [-] mean, in place (tangent cols 0:53) -
-    lw, lx, ly, lz = _qmul(mw[None], -mx[None], -my[None], -mz[None], yqw, yqx, yqy, yqz)
+    lw, lx, ly, lz = _qmul(mw, -mx, -my, -mz, yqw, yqx, yqy, yqz)
     rx, ry, rz = _qlog(lw, lx, ly, lz)
     y_ref[:, 0:3] = y_ref[:, 0:3] - mean_pos[None]
     y_ref[:, 6:53] = y_ref[:, 7:54] - mean_flat[None]
-    y_ref[:, 3:4] = rx
-    y_ref[:, 4:5] = ry
-    y_ref[:, 5:6] = rz
+    y_ref[:, 3] = rx
+    y_ref[:, 4] = ry
+    y_ref[:, 5] = rz
 
     # ---- process-noise assembly (src/PoseUKF.cpp:446-460) ----------------
     # orientation block: R(mu_in)*Qrot*R(mu_in)^T, Qrot pre-scaled by dt^2
