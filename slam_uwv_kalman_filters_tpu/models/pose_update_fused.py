@@ -63,7 +63,9 @@ def _make_update_kernel(m: int):
         acc_ref,  # out: (1, B) gate outcome as 1.0/0.0
     ):
         n = TANGENT_DIM
-        dz = dz_ref[:]  # (107, m, B)
+        # measurement-space components as (107, B) — sigma axis on sublanes
+        # (a (107, 1, B) slice tiles at 1/8 sublane occupancy)
+        dzc = [dz_ref[:, a, :] for a in range(m)]
         nu = nu_ref[:]  # (m, B)
         thr = scal_ref[0, 0]
 
@@ -71,7 +73,7 @@ def _make_update_kernel(m: int):
         S = [[None] * m for _ in range(m)]
         for a in range(m):
             for b2 in range(a + 1):
-                v = 0.5 * jnp.sum(dz[:, a : a + 1, :] * dz[:, b2 : b2 + 1, :], axis=0) + r_ref[
+                v = 0.5 * jnp.sum(dzc[a] * dzc[b2], axis=0, keepdims=True) + r_ref[
                     a, b2 : b2 + 1, :
                 ]
                 S[a][b2] = v
@@ -97,7 +99,7 @@ def _make_update_kernel(m: int):
         for a in range(m):
             acc = None
             for lo, hi in ((0, 54), (54, NSIG)):
-                part = jnp.sum(d_ref[lo:hi] * dz[lo:hi, a : a + 1, :], axis=0)
+                part = jnp.sum(d_ref[lo:hi] * dzc[a][lo:hi][:, None, :], axis=0)
                 acc = part if acc is None else acc + part
             C.append(0.5 * acc)  # (53, B)
 
@@ -125,7 +127,7 @@ def _make_update_kernel(m: int):
         # would corrupt the prior.
         acc_b = jnp.logical_or(m2 <= thr, thr < 0.0)  # (1, B) bool
         m2_ref[:] = m2
-        acc_ref[:] = acc_b.astype(dz.dtype)
+        acc_ref[:] = acc_b.astype(nu.dtype)
 
         # state correction: corr = K·ν = Σ W[i]·y[i] (53, B), gated boxplus
         corr = sum(W[i] * y[i] for i in range(m))
