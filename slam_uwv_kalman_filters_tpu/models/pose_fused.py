@@ -51,7 +51,7 @@ rows  field                       tangent rows (53-dim, MTK layout)
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING
+from typing import NamedTuple, TYPE_CHECKING
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +64,17 @@ from ..ops.kernels import LANE_TILE, equilibrated_sigma_columns
 if TYPE_CHECKING:  # circular-import guard: pose_ukf imports this lazily
     from .pose_ukf import PoseUKFParams, PoseUKFState
 
-__all__ = ["predict_fused_banked", "MEAN_ITERS", "STORAGE_DIM", "TANGENT_DIM"]
+__all__ = [
+    "predict_fused_banked",
+    "LanesBankState",
+    "to_lanes",
+    "from_lanes",
+    "predict_lanes",
+    "set_rotation_rate_lanes",
+    "MEAN_ITERS",
+    "STORAGE_DIM",
+    "TANGENT_DIM",
+]
 
 STORAGE_DIM = 54  # 53 tangent DOF + 1 (quaternion stores 4 for 3 DOF)
 TANGENT_DIM = 53
@@ -492,3 +502,93 @@ def predict_fused_banked(
     cov_out = jnp.transpose(cov_t2, (2, 1, 0))[:nb]
     mu_out = _unpack_storage(mu_t2.T[:nb], state.mu)
     return state._replace(mu=mu_out, cov=cov_out)
+
+
+# ---------------------------------------------------------------------------
+# Persistent lanes-layout state: keeps the bank in kernel layout between
+# fused calls. Inside one jit XLA already cancels the boundary transposes
+# (measured: chained banked and lanes steps are bit-identical and equally
+# fast), so this matters only when predict/update are dispatched as SEPARATE
+# jits — e.g. a host-driven online loop reacting to sensor arrivals — where
+# each call would otherwise pay the full-bank layout conversions.
+# ---------------------------------------------------------------------------
+
+
+class LanesBankState(NamedTuple):
+    """PoseUKF bank in kernel layout: covariance (53, 53, nb) (col, row, B),
+    mean (54, nb) storage rows, rotation rate (3, nb); ``nb`` is padded to a
+    lane multiple and ``valid`` is the true bank size."""
+
+    cov_t: jax.Array  # (53, 53, nb)
+    mu_t: jax.Array  # (54, nb)
+    rr_t: jax.Array  # (3, nb)
+    valid: jax.Array  # () int32 — true (unpadded) bank size
+
+
+def to_lanes(state: "PoseUKFState") -> LanesBankState:
+    """Bank-first pytree state → kernel-layout state (pads to LANE_TILE)."""
+    dtype = state.cov.dtype
+    nb = state.cov.shape[0]
+    pad = (-nb) % LANE_TILE
+    cov = state.cov
+    mu_s = _pack_storage(state.mu)
+    rr = state.rotation_rate
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(TANGENT_DIM, dtype=dtype), (pad, TANGENT_DIM, TANGENT_DIM))
+        cov = jnp.concatenate([cov, eye], axis=0)
+        mu_s = jnp.concatenate([mu_s, jnp.tile(mu_s[:1], (pad, 1))], axis=0)
+        rr = jnp.concatenate([rr, jnp.tile(rr[:1], (pad, 1))], axis=0)
+    return LanesBankState(
+        cov_t=jnp.transpose(cov, (2, 1, 0)),
+        mu_t=mu_s.T,
+        rr_t=rr.T,
+        valid=jnp.asarray(nb, jnp.int32),
+    )
+
+
+def from_lanes(lstate: LanesBankState, like: "PoseUKFState") -> "PoseUKFState":
+    """Kernel-layout state → bank-first pytree state (drops padding).
+    ``like`` supplies the pytree structure (any state of the same bank)."""
+    nb = like.cov.shape[0]
+    cov = jnp.transpose(lstate.cov_t, (2, 1, 0))[:nb]
+    mu = _unpack_storage(lstate.mu_t.T[:nb], like.mu)
+    return like._replace(mu=mu, cov=cov, rotation_rate=lstate.rr_t.T[:nb])
+
+
+def predict_lanes(
+    lstate: LanesBankState, params: "PoseUKFParams", dt, *, interpret: bool = False
+) -> LanesBankState:
+    """Fused prediction directly on kernel-layout state — zero layout
+    conversions (the transposes of :func:`predict_fused_banked` vanish)."""
+    from . import pose_ukf as pukf
+
+    dtype = lstate.cov_t.dtype
+    dt = jnp.asarray(dt, dtype)
+    coeff, offs = _decay_vectors(params, dt, dtype)
+    q0 = params.process_noise.astype(dtype)
+    so = pukf.POSE_MANIFOLD.block("orientation")
+    q0m = dt**2 * q0
+    q0m = q0m.at[so, so].set(0.0)[:, :, None]
+    scal = jnp.concatenate(
+        [
+            dt[None],
+            params.projection.lat0.astype(dtype)[None],
+            (1.0 / params.projection.m_rad.astype(dtype))[None],
+            jnp.asarray([geo.EARTHW], dtype),
+            (params.water_velocity_scale.astype(dtype) * dt**3)[None],
+            (dt**2 * q0[so, so]).reshape(9),
+        ]
+    )[:, None]
+    cov_t2, mu_t2 = _pose_predict_lanes(
+        lstate.cov_t, lstate.mu_t, lstate.rr_t, coeff, offs, q0m, scal, interpret=interpret
+    )
+    return lstate._replace(cov_t=cov_t2, mu_t=mu_t2)
+
+
+def set_rotation_rate_lanes(lstate: LanesBankState, rr: jax.Array) -> LanesBankState:
+    """Cache a new (B, 3) gyro input (``integrateMeasurement(RotationRate)``)."""
+    nb = lstate.rr_t.shape[-1]
+    pad = nb - rr.shape[0]
+    if pad:
+        rr = jnp.concatenate([rr, jnp.tile(rr[:1], (pad, 1))], axis=0)
+    return lstate._replace(rr_t=rr.T)

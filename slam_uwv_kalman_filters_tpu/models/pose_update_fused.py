@@ -45,7 +45,7 @@ from .pose_fused import (
 if TYPE_CHECKING:
     from .pose_ukf import PoseUKFParams, PoseUKFState
 
-__all__ = ["update_fused_banked"]
+__all__ = ["update_fused_banked", "update_lanes"]
 
 
 def _make_update_kernel(m: int):
@@ -285,3 +285,98 @@ def update_fused_banked(
         mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=innovation
     )
     return bstate._replace(mu=mu_out, cov=cov_out), info
+
+
+def update_lanes(
+    lstate,
+    params: "PoseUKFParams",
+    z: jax.Array,  # (B, m)
+    meas_cov: jax.Array,  # (B, m, m) or (m, m)
+    h: Callable,
+    deps: Sequence[str],
+    gate_threshold: float | None = None,
+    *,
+    interpret: bool = False,
+):
+    """Measurement update directly on kernel-layout state
+    (:class:`models.pose_fused.LanesBankState`) — the covariance never leaves
+    the (col, row, B) layout between consecutive fused steps. Returns
+    ``(LanesBankState, UpdateInfo)`` with bank-first info fields."""
+    from ..ops import manifolds as mf
+    from .pose_fused import LanesBankState, _unpack_storage  # noqa: F401
+
+    dtype = lstate.cov_t.dtype
+    nb_pad = lstate.cov_t.shape[-1]
+    nb = z.shape[0]
+    pad = nb_pad - nb
+    z = jnp.asarray(z, dtype)
+    m = z.shape[-1]
+    meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
+
+    deltas_t = _sigma_deltas_lanes(lstate.cov_t, interpret=interpret)  # (107, 53, nb_pad)
+
+    field_rows = _field_rows()
+    rows = sorted((field_rows[f], f) for f in deps)
+    d_small = jnp.concatenate([deltas_t[:, lo:hi, :] for (lo, hi), _ in rows], axis=1)
+    d_small = jnp.transpose(d_small, (2, 0, 1))[:nb]  # (B, 107, k)
+
+    # rebuild only the dependent fields of the bank-first mean for h
+    mu_bank = _unpack_storage(lstate.mu_t.T[:nb], _pose_state_like(dtype))
+
+    def h_of(delta_k, mu_one):
+        updates, off = {}, 0
+        for (lo, hi), name in rows:
+            k = hi - lo
+            dpart = delta_k[off : off + k]
+            off += k
+            val = getattr(mu_one, name)
+            if name == "orientation":
+                updates[name] = mf.so3_boxplus(val, dpart)
+            elif val.ndim == 2:
+                updates[name] = val + dpart.reshape(3, 3).T
+            else:
+                updates[name] = val + dpart
+        return h(mu_one._replace(**updates))
+
+    Z = jax.vmap(lambda dk, mo: jax.vmap(lambda d1: h_of(d1, mo))(dk))(d_small, mu_bank)
+    z_mean = jnp.mean(Z, axis=1)
+    dZ = Z - z_mean[:, None, :]
+    innovation = z - z_mean
+
+    if pad:
+        dZ = jnp.concatenate([dZ, jnp.zeros((pad, NSIG, m), dtype)], axis=0)
+        innovation_p = jnp.concatenate([innovation, jnp.zeros((pad, m), dtype)], axis=0)
+        meas_cov_p = jnp.concatenate(
+            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
+        )
+    else:
+        innovation_p, meas_cov_p = innovation, meas_cov
+
+    thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)
+    covo_t, muo_t, m2, acc = _pose_update_lanes(
+        deltas_t,
+        jnp.transpose(dZ, (1, 2, 0)),
+        innovation_p.T,
+        jnp.transpose(meas_cov_p, (1, 2, 0)),
+        lstate.mu_t,
+        lstate.cov_t,
+        thr,
+        interpret=interpret,
+    )
+    info = ukf.UpdateInfo(
+        mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=innovation
+    )
+    return lstate._replace(cov_t=covo_t, mu_t=muo_t), info
+
+
+def _pose_state_like(dtype):
+    """Zero PoseState template for _unpack_storage's structure argument."""
+    from .pose_ukf import PoseState
+
+    z = lambda *s: jnp.zeros(s, dtype)
+    return PoseState(
+        position=z(3), orientation=z(4), velocity=z(3), acceleration=z(3),
+        bias_gyro=z(3), bias_acc=z(3), gravity=z(1), inertia=z(3, 3),
+        lin_damping=z(3, 3), quad_damping=z(3, 3), water_velocity=z(2),
+        water_velocity_below=z(2), bias_adcp=z(2), water_density=z(1),
+    )

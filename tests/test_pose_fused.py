@@ -221,3 +221,38 @@ def test_fused_predict_large_orientation_spread():
     b = b if np.dot(a, b) >= 0 else -b
     np.testing.assert_allclose(a, b, atol=3e-6)
     np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), rtol=1e-3, atol=1e-5)
+
+
+def test_lanes_chain_matches_banked_path():
+    """to_lanes → predict_lanes → update_lanes → from_lanes equals the
+    bank-first fused sequence (same kernels, conversions only at the ends)."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    bstate, params = _make_bank(2)
+    z = jnp.asarray(RNG.normal(scale=0.3, size=(2, 3)), jnp.float32)
+    r = jnp.eye(3, dtype=jnp.float32) * 1e-3
+    h = lambda s: mf.quat_rotate_inv(s.orientation, s.velocity)
+    deps = ("orientation", "velocity")
+
+    # reference: bank-first fused path
+    ref = pose_fused.predict_fused_banked(bstate, params, 0.05, interpret=True)
+    ref, ref_info = puf.update_fused_banked(ref, params, z, r, h, deps, None, interpret=True)
+
+    # lanes path: one conversion in, one out
+    ls = pose_fused.to_lanes(bstate)
+    ls = pose_fused.predict_lanes(ls, params, 0.05, interpret=True)
+    ls, info = puf.update_lanes(ls, params, z, r, h, deps, None, interpret=True)
+    out = pose_fused.from_lanes(ls, bstate)
+
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.mu.position), np.asarray(ref.mu.position), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(info.mahalanobis2), np.asarray(ref_info.mahalanobis2), rtol=1e-5
+    )
+    # rotation-rate caching round-trips through the lanes layout
+    rr = jnp.asarray(RNG.normal(scale=0.01, size=(2, 3)), jnp.float32)
+    ls2 = pose_fused.set_rotation_rate_lanes(ls, rr)
+    out2 = pose_fused.from_lanes(ls2, bstate)
+    np.testing.assert_allclose(np.asarray(out2.rotation_rate), np.asarray(rr), atol=0)
