@@ -13,10 +13,12 @@ replay driver:
   ``pose_ukf.assemble_process_noise`` is shared) and blending with the
   already-smoothed next state.
 
-Memory: the forward pass stores T × (53-DOF state + 53×53 covariance)
-≈ T · 11.5 KB f64 — minutes-scale missions fit comfortably; for longer logs
-smooth in overlapping windows. Both passes jit-compile once and ``vmap`` over
-trajectory banks for fleet-scale reprocessing.
+Memory: the forward pass stores T × (54-value state + 53×53 covariance)
+≈ T · 23 KB in f64 (11.5 KB f32), and :class:`SmoothedTrajectory` holds the
+smoothed copies too — budget ~46 KB/tick f64 end to end. Minutes-scale
+missions fit comfortably; smooth longer logs in overlapping windows. Both
+passes jit-compile once and ``vmap`` over trajectory banks for fleet-scale
+reprocessing.
 """
 
 from __future__ import annotations

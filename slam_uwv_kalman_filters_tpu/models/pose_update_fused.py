@@ -62,7 +62,6 @@ def _make_update_kernel(m: int):
         m2_ref,  # out: (1, B) Mahalanobis² (the NIS)
         acc_ref,  # out: (1, B) gate outcome as 1.0/0.0
     ):
-        n = TANGENT_DIM
         # measurement-space components as (107, B) — sigma axis on sublanes
         # (a (107, 1, B) slice tiles at 1/8 sublane occupancy)
         dzc = [dz_ref[:, a, :] for a in range(m)]
@@ -184,6 +183,49 @@ def _pose_update_lanes(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr, *, interpret
     )(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr)
 
 
+def _measurement_stage(deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h):
+    """Shared XLA stage of both fused update entry points: evaluate ``h`` on
+    the dependent tangent rows, form (dZ, innovation) and pad lane filler
+    (S=R, C=0, ν=0 for pad instances — neutral under the gate)."""
+    from ..ops import manifolds as mf
+
+    m = z.shape[-1]
+    field_rows = _field_rows()
+    rows = sorted((field_rows[f], f) for f in deps)
+    d_small = jnp.concatenate([deltas_t[:, lo:hi, :] for (lo, hi), _ in rows], axis=1)
+    d_small = jnp.transpose(d_small, (2, 0, 1))[:nb]  # (B, 107, k)
+
+    def h_of(delta_k, mu_one):
+        updates, off = {}, 0
+        for (lo, hi), name in rows:
+            k = hi - lo
+            dpart = delta_k[off : off + k]
+            off += k
+            val = getattr(mu_one, name)
+            if name == "orientation":
+                updates[name] = mf.so3_boxplus(val, dpart)
+            elif val.ndim == 2:  # mat33, column-major tangent
+                updates[name] = val + dpart.reshape(3, 3).T
+            else:
+                updates[name] = val + dpart
+        return h(mu_one._replace(**updates))
+
+    Z = jax.vmap(lambda dk, mo: jax.vmap(lambda d1: h_of(d1, mo))(dk))(d_small, mu_bank)
+    z_mean = jnp.mean(Z, axis=1)  # (B, m)
+    dZ = Z - z_mean[:, None, :]
+    innovation = z - z_mean  # (B, m)
+
+    if pad:
+        dZ = jnp.concatenate([dZ, jnp.zeros((pad, NSIG, m), dtype)], axis=0)
+        innovation_p = jnp.concatenate([innovation, jnp.zeros((pad, m), dtype)], axis=0)
+        meas_cov_p = jnp.concatenate(
+            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
+        )
+    else:
+        innovation_p, meas_cov_p = innovation, meas_cov
+    return dZ, innovation, innovation_p, meas_cov_p
+
+
 def _field_rows() -> dict[str, tuple[int, int]]:
     """Tangent-row slice of each PoseState field, derived from the single
     source of truth (``POSE_MANIFOLD`` — never a second hand-written copy of
@@ -212,8 +254,6 @@ def update_fused_banked(
     pinned to the mean (valid because ``deps`` lists every field ``h``
     reads), so only a ``(B, 107, Σdep-dims)`` tensor leaves the kernel
     pipeline."""
-    from ..ops import manifolds as mf
-
     dtype = bstate.cov.dtype
     nb = bstate.cov.shape[0]
     z = jnp.asarray(z, dtype)
@@ -230,46 +270,9 @@ def update_fused_banked(
 
     cov_t = jnp.transpose(cov, (2, 1, 0))
     deltas_t = _sigma_deltas_lanes(cov_t, interpret=interpret)  # (107, 53, nb)
-
-    # measurement model on the dependent tangent rows only (bank-first, small)
-    field_rows = _field_rows()
-    rows = sorted((field_rows[f], f) for f in deps)
-    d_small = jnp.concatenate(
-        [deltas_t[:, lo:hi, :] for (lo, hi), _ in rows], axis=1
-    )  # (107, k, nb)
-    d_small = jnp.transpose(d_small, (2, 0, 1))[:nb]  # (B, 107, k)
-
-    mu_bank = bstate.mu
-
-    def h_of(delta_k, mu_one):
-        # rebuild only the dependent fields from their tangent slices
-        updates, off = {}, 0
-        for (lo, hi), name in rows:
-            k = hi - lo
-            dpart = delta_k[off : off + k]
-            off += k
-            val = getattr(mu_one, name)
-            if name == "orientation":
-                updates[name] = mf.so3_boxplus(val, dpart)
-            elif val.ndim == 2:  # mat33, column-major tangent
-                updates[name] = val + dpart.reshape(3, 3).T
-            else:
-                updates[name] = val + dpart
-        return h(mu_one._replace(**updates))
-
-    Z = jax.vmap(lambda dk, mo: jax.vmap(lambda d1: h_of(d1, mo))(dk))(d_small, mu_bank)
-    z_mean = jnp.mean(Z, axis=1)  # (B, m)
-    dZ = Z - z_mean[:, None, :]
-    innovation = z - z_mean  # (B, m)
-
-    if pad:
-        dZ = jnp.concatenate([dZ, jnp.zeros((pad, NSIG, m), dtype)], axis=0)
-        innovation_p = jnp.concatenate([innovation, jnp.zeros((pad, m), dtype)], axis=0)
-        meas_cov_p = jnp.concatenate(
-            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
-        )
-    else:
-        innovation_p, meas_cov_p = innovation, meas_cov
+    dZ, innovation, innovation_p, meas_cov_p = _measurement_stage(
+        deltas_t, bstate.mu, z, meas_cov, deps, nb, pad, dtype, h
+    )
 
     dz_t = jnp.transpose(dZ, (1, 2, 0))  # (107, m, nb)
     nu_t = innovation_p.T  # (m, nb)
@@ -302,8 +305,7 @@ def update_lanes(
     (:class:`models.pose_fused.LanesBankState`) — the covariance never leaves
     the (col, row, B) layout between consecutive fused steps. Returns
     ``(LanesBankState, UpdateInfo)`` with bank-first info fields."""
-    from ..ops import manifolds as mf
-    from .pose_fused import LanesBankState, _unpack_storage  # noqa: F401
+    from .pose_fused import _unpack_storage
 
     dtype = lstate.cov_t.dtype
     nb_pad = lstate.cov_t.shape[-1]
@@ -314,43 +316,10 @@ def update_lanes(
     meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
 
     deltas_t = _sigma_deltas_lanes(lstate.cov_t, interpret=interpret)  # (107, 53, nb_pad)
-
-    field_rows = _field_rows()
-    rows = sorted((field_rows[f], f) for f in deps)
-    d_small = jnp.concatenate([deltas_t[:, lo:hi, :] for (lo, hi), _ in rows], axis=1)
-    d_small = jnp.transpose(d_small, (2, 0, 1))[:nb]  # (B, 107, k)
-
-    # rebuild only the dependent fields of the bank-first mean for h
     mu_bank = _unpack_storage(lstate.mu_t.T[:nb], _pose_state_like(dtype))
-
-    def h_of(delta_k, mu_one):
-        updates, off = {}, 0
-        for (lo, hi), name in rows:
-            k = hi - lo
-            dpart = delta_k[off : off + k]
-            off += k
-            val = getattr(mu_one, name)
-            if name == "orientation":
-                updates[name] = mf.so3_boxplus(val, dpart)
-            elif val.ndim == 2:
-                updates[name] = val + dpart.reshape(3, 3).T
-            else:
-                updates[name] = val + dpart
-        return h(mu_one._replace(**updates))
-
-    Z = jax.vmap(lambda dk, mo: jax.vmap(lambda d1: h_of(d1, mo))(dk))(d_small, mu_bank)
-    z_mean = jnp.mean(Z, axis=1)
-    dZ = Z - z_mean[:, None, :]
-    innovation = z - z_mean
-
-    if pad:
-        dZ = jnp.concatenate([dZ, jnp.zeros((pad, NSIG, m), dtype)], axis=0)
-        innovation_p = jnp.concatenate([innovation, jnp.zeros((pad, m), dtype)], axis=0)
-        meas_cov_p = jnp.concatenate(
-            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
-        )
-    else:
-        innovation_p, meas_cov_p = innovation, meas_cov
+    dZ, innovation, innovation_p, meas_cov_p = _measurement_stage(
+        deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h
+    )
 
     thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)
     covo_t, muo_t, m2, acc = _pose_update_lanes(

@@ -359,8 +359,16 @@ def solve_spd_banked(spd: jax.Array, rhs: jax.Array, force_pallas: bool = False)
         return jax.vmap(linalg_small.solve_spd)(spd, rhs)
     use_pallas = force_pallas or (_on_tpu() and spd.shape[0] >= 64)
     if not use_pallas:
-        f = jax.scipy.linalg.cho_factor(spd, lower=True)
-        return jax.scipy.linalg.cho_solve(f, rhs)
+        # equilibrate here too: filter covariances reach ~1e12 condition in
+        # raw units (see cholesky_banked) — a raw f32 cho_factor NaNs exactly
+        # the single-instance/small-bank path the Pallas kernel doesn't take
+        var = jnp.diagonal(spd, axis1=-2, axis2=-1)
+        tiny = jnp.asarray(jnp.finfo(spd.dtype).tiny, spd.dtype)
+        d = jnp.sqrt(jnp.maximum(var, tiny))
+        corr = spd / (d[:, :, None] * d[:, None, :])
+        f = jax.scipy.linalg.cho_factor(corr, lower=True)
+        x = jax.scipy.linalg.cho_solve(f, rhs / d[:, :, None])
+        return x / d[:, :, None]
     nb = spd.shape[0]
     pad = (-nb) % LANE_TILE
     if pad:

@@ -33,7 +33,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .kernels import cholesky_fast, sigma_deltas_fast, solve_spd_fast
+from .kernels import sigma_deltas_fast, solve_spd_fast
 from .linalg_small import solve_spd
 from .manifolds import ProductManifold
 
@@ -81,14 +81,6 @@ def _default_tol(dtype) -> float:
     iteration cannot contract below ~1e-7, so a tighter tol would spin the
     while_loop to max_iters)."""
     return 1e-12 if jnp.dtype(dtype).itemsize >= 8 else 1e-6
-
-
-def _chol(cov: jax.Array, jitter: float) -> jax.Array:
-    if jitter:
-        cov = cov + jitter * jnp.eye(cov.shape[-1], dtype=cov.dtype)
-    # bank-aware cholesky: under vmap the whole bank goes through one Pallas
-    # kernel launch on TPU (ops/kernels.py) — this is ~75% of the step cost.
-    return cholesky_fast(cov)
 
 
 def sigma_point_deltas(cov: jax.Array, *, jitter: float = 0.0) -> jax.Array:

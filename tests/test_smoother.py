@@ -101,3 +101,24 @@ def test_pose_smoother_improves_sparse_fix_trajectory():
     np.testing.assert_allclose(
         np.asarray(out.smoothed_mu.position[-1]), np.asarray(out.filtered_mu.position[-1]), atol=0
     )
+
+
+def test_smoother_single_instance_f32_survives_condition():
+    """Regression: the small-bank/cho_solve fallback of the SPD solve must
+    equilibrate — a raw f32 factorization of the ~1e12-condition PoseUKF
+    covariance NaNs (the Pallas branch already equilibrated)."""
+    import numpy as _np
+
+    from slam_uwv_kalman_filters_tpu.ops import kernels
+
+    rng = _np.random.default_rng(2)
+    a = rng.normal(size=(2, 53, 53)).astype(_np.float32)
+    base = a @ a.transpose(0, 2, 1) + 53 * _np.eye(53, dtype=_np.float32)
+    d = (10.0 ** rng.uniform(-5.5, 0.5, 53)).astype(_np.float32)
+    ill = jnp.asarray(base * (d[None, :, None] * d[None, None, :]))
+    rhs = jnp.asarray(rng.normal(size=(2, 53, 4)).astype(_np.float32))
+    x = kernels.solve_spd_banked(ill, rhs)  # small bank → cho_solve fallback
+    assert not bool(jnp.isnan(x).any()), "fallback solve NaN'd on ill-conditioned input"
+    ref = _np.linalg.solve(_np.asarray(ill, _np.float64), _np.asarray(rhs, _np.float64))
+    resid = _np.max(_np.abs(_np.asarray(x, _np.float64) - ref) / (_np.abs(ref) + 1.0))
+    assert resid < 5e-2, resid
