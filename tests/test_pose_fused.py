@@ -256,3 +256,60 @@ def test_lanes_chain_matches_banked_path():
     ls2 = pose_fused.set_rotation_rate_lanes(ls, rr)
     out2 = pose_fused.from_lanes(ls2, bstate)
     np.testing.assert_allclose(np.asarray(out2.rotation_rate), np.asarray(rr), atol=0)
+
+
+def test_fused_parity_fuzz_random_states_and_dt():
+    """Randomized parity: random bank states (positions to ±1 km, velocities
+    to ±3 m/s, strong rotations, perturbed damping/current/bias states) and
+    random dt ∈ [1e-3, 0.5] must track the generic path through a
+    predict + gated-update chain."""
+    for trial in range(4):
+        rng = np.random.default_rng(1000 + trial)
+        bstate, params = _make_bank(2)
+        n = 2
+        mu = bstate.mu._replace(
+            position=jnp.asarray(rng.normal(scale=300.0, size=(n, 3)), jnp.float32),
+            velocity=jnp.asarray(rng.normal(scale=1.5, size=(n, 3)), jnp.float32),
+            acceleration=jnp.asarray(rng.normal(scale=0.5, size=(n, 3)), jnp.float32),
+            orientation=jax.vmap(mf.so3_boxplus)(
+                bstate.mu.orientation, jnp.asarray(rng.normal(scale=1.0, size=(n, 3)), jnp.float32)
+            ),
+            bias_gyro=jnp.asarray(rng.normal(scale=1e-3, size=(n, 3)), jnp.float32),
+            water_velocity=jnp.asarray(rng.normal(scale=0.2, size=(n, 2)), jnp.float32),
+            water_density=jnp.asarray(1025.0 + rng.normal(scale=5.0, size=(n, 1)), jnp.float32),
+        )
+        bstate = bstate._replace(
+            mu=mu, rotation_rate=jnp.asarray(rng.normal(scale=0.1, size=(n, 3)), jnp.float32)
+        )
+        dt = float(10 ** rng.uniform(-3, np.log10(0.5)))
+
+        ref = jax.vmap(lambda s: pukf.predict(s, params, dt))(bstate)
+        out = pose_fused.predict_fused_banked(bstate, params, dt, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out.cov), np.asarray(ref.cov), rtol=5e-3, atol=2e-5,
+            err_msg=f"trial {trial} dt={dt:.4f}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.mu.position), np.asarray(ref.mu.position), rtol=1e-5, atol=1e-3,
+            err_msg=f"trial {trial}",
+        )
+
+        z = jnp.asarray(rng.normal(scale=1.0, size=(n, 2)), jnp.float32)
+        r = jnp.eye(2, dtype=jnp.float32) * 1e-2
+        out2, info = pukf.update_xy_position_bank(
+            out, params, out.mu.position[:, :2] + z * 0.01, r, gate_threshold=5.991,
+            use_fused=False,
+        )
+        from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+        out3, info3 = puf.update_fused_banked(
+            out, params, out.mu.position[:, :2] + z * 0.01, r,
+            lambda s: s.position[:2], ("position",), 5.991, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out3.cov), np.asarray(out2.cov), rtol=5e-3, atol=2e-5,
+            err_msg=f"trial {trial} update",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(info3.accepted), np.asarray(info.accepted), err_msg=f"trial {trial} gate"
+        )
