@@ -162,13 +162,34 @@ def _qnorm4(w, x, y, z):
     return w * inv, x * inv, y * inv, z * inv
 
 
-def _pose_predict_kernel(
+def _make_predict_kernel(banked_params: bool):
+    """Kernel factory. ``banked_params=False``: one shared parameter set —
+    decay vectors are (54, 1), geography comes from SMEM scalars and the
+    per-instance process noise is assembled in-kernel. ``banked_params=True``
+    (Monte-Carlo parameter sweeps): decay vectors are per-lane (54, B), the
+    geography anchor is a per-lane (2, B) operand in the q0m slot, and the
+    kernel emits the RAW ½ΣDDᵀ — the per-instance Q is added in XLA by the
+    wrapper (it needs the full banked params)."""
+
+    def kernel(a_ref, mu_ref, rr_ref, coeff_ref, offs_ref, q0m_ref, scal_ref,
+               cov_ref, muo_ref, y_ref, c_ref):
+        _pose_predict_body(
+            banked_params, a_ref, mu_ref, rr_ref, coeff_ref, offs_ref, q0m_ref,
+            scal_ref, cov_ref, muo_ref, y_ref, c_ref,
+        )
+
+    return kernel
+
+
+def _pose_predict_body(
+    banked_params,
     a_ref,  # (53, 53, B) raw covariance, (col, row, B) layout
     mu_ref,  # (54, B) pre-predict mean, storage layout
     rr_ref,  # (3, B) cached rotation-rate input
-    coeff_ref,  # (54, 1) per-row Markov decay coefficient -dt/tau (0 = no decay)
-    offs_ref,  # (54, 1) per-row Markov rest point
-    q0m_ref,  # (53, 53, 1) dt^2-scaled process noise, orientation block zeroed
+    coeff_ref,  # (54, 1) or (54, B): per-row Markov coefficient -dt/tau
+    offs_ref,  # (54, 1) or (54, B): per-row Markov rest point
+    q0m_ref,  # shared: (53, 53, 1) dt^2-scaled Q, orientation block zeroed;
+    #           banked: (2, B) per-lane [lat0; 1/m_rad]
     scal_ref,  # (14, 1) SMEM scalars (see _S_* indices)
     cov_ref,  # out: (53, 53, B) predicted covariance (exactly symmetric)
     muo_ref,  # out: (54, B) predicted mean, storage layout
@@ -216,7 +237,11 @@ def _pose_predict_kernel(
         # position [+] velocity*dt
         y_pos = x_pos + dt * x_vel
         # latitude at the (per-sigma-point) position -> earth rate (NWU)
-        lat = f1(_S_LAT0) + x_pos[:, 0] * f1(_S_MRADINV)  # (k, B)
+        if banked_params:
+            geo_l = q0m_ref[:]  # (2, B): [lat0; 1/m_rad] per instance
+            lat = geo_l[0:1] + x_pos[:, 0] * geo_l[1:2]  # (k, B)
+        else:
+            lat = f1(_S_LAT0) + x_pos[:, 0] * f1(_S_MRADINV)  # (k, B)
         er_x = f1(_S_EARTHW) * jnp.cos(lat)
         er_z = f1(_S_EARTHW) * jnp.sin(lat)
         # body rate minus gyro bias, rotated to nav: R(q)*v via Rodrigues
@@ -281,6 +306,7 @@ def _pose_predict_kernel(
     y_ref[:, 5] = rz
 
     # ---- process-noise assembly (src/PoseUKF.cpp:446-460) ----------------
+    # (shared-params mode only; the banked-params wrapper adds Q in XLA)
     # orientation block: R(mu_in)*Qrot*R(mu_in)^T, Qrot pre-scaled by dt^2
     w0, x0, y0, z0 = mu[3:4], mu[4:5], mu[5:6], mu[6:7]  # (1, B)
     r00 = 1 - 2 * (y0 * y0 + z0 * z0)
@@ -314,6 +340,9 @@ def _pose_predict_kernel(
         for lo, hi in ((0, 54), (54, NSIG)):
             part = jnp.sum(y_ref[lo:hi, 0:53] * y_ref[lo:hi, nn, :][:, None, :], axis=0)
             acc = part if acc is None else acc + part
+        if banked_params:
+            cov_ref[nn] = 0.5 * acc  # raw reconstruction; Q added in XLA
+            continue
         acc = 0.5 * acc + q0m_ref[nn]  # q0m broadcast (53, 1) over lanes
         if 3 <= nn < 6:
             acc = jnp.concatenate(
@@ -331,7 +360,8 @@ def _pose_predict_kernel(
         cov_ref[nn] = acc
 
 
-def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret):
+def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret,
+                        banked_params: bool = False):
     nb = cov_t.shape[-1]
     n = TANGENT_DIM
     grid = (nb // LANE_TILE,)
@@ -341,8 +371,17 @@ def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret)
     full_spec = lambda *shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
+    if banked_params:
+        # per-lane decay vectors and geography anchor (q0m slot = (2, B))
+        param_specs = [lane_spec(STORAGE_DIM), lane_spec(STORAGE_DIM), lane_spec(2)]
+    else:
+        param_specs = [
+            full_spec(STORAGE_DIM, 1),
+            full_spec(STORAGE_DIM, 1),
+            full_spec(n, n, 1),
+        ]
     return pl.pallas_call(
-        _pose_predict_kernel,
+        _make_predict_kernel(banked_params),
         out_shape=(
             jax.ShapeDtypeStruct((n, n, nb), cov_t.dtype),
             jax.ShapeDtypeStruct((STORAGE_DIM, nb), cov_t.dtype),
@@ -352,9 +391,7 @@ def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret)
             lane_spec(n, n),
             lane_spec(STORAGE_DIM),
             lane_spec(3),
-            full_spec(STORAGE_DIM, 1),
-            full_spec(STORAGE_DIM, 1),
-            full_spec(n, n, 1),
+            *param_specs,
             pl.BlockSpec((_NSCAL, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(lane_spec(n, n), lane_spec(STORAGE_DIM)),
@@ -457,13 +494,17 @@ def predict_fused_banked(
     state: "PoseUKFState", params: "PoseUKFParams", dt, *, interpret: bool = False
 ) -> "PoseUKFState":
     """Fused-kernel prediction over a whole bank (leading bank axis on every
-    state leaf; one shared ``params``). Semantics match
-    ``vmap(pose_ukf.predict)`` to f32 accuracy; see module docstring."""
+    state leaf). ``params`` may be a single shared set OR a bank (leading
+    axis on every leaf — Monte-Carlo parameter sweeps): the banked mode runs
+    per-lane decay/geography operands and adds the per-instance Q in XLA.
+    Semantics match ``vmap(pose_ukf.predict)`` to f32 accuracy; see module
+    docstring."""
     from . import pose_ukf as pukf  # local import (pose_ukf ↔ pose_fused)
 
     dtype = state.cov.dtype
     nb = state.cov.shape[0]
     dt = jnp.asarray(dt, dtype)
+    banked_params = params.process_noise.ndim == 3
 
     pad = (-nb) % LANE_TILE
     cov = state.cov
@@ -480,26 +521,51 @@ def predict_fused_banked(
     mu_t = mu_s.T
     rr_t = rr.T
 
-    coeff, offs = _decay_vectors(params, dt, dtype)
+    pad_lane = lambda a: (
+        jnp.concatenate([a, jnp.tile(a[:1], (pad, *(1,) * (a.ndim - 1)))], axis=0) if pad else a
+    )
     q0 = params.process_noise.astype(dtype)
     so = pukf.POSE_MANIFOLD.block("orientation")
-    q0m = dt**2 * q0
-    q0m = q0m.at[so, so].set(0.0)[:, :, None]
-    scal = jnp.concatenate(
-        [
-            dt[None],
-            params.projection.lat0.astype(dtype)[None],
-            (1.0 / params.projection.m_rad.astype(dtype))[None],
-            jnp.asarray([geo.EARTHW], dtype),
-            (params.water_velocity_scale.astype(dtype) * dt**3)[None],
-            (dt**2 * q0[so, so]).reshape(9),
-        ]
-    )[:, None]
+    if banked_params:
+        coeff, offs = jax.vmap(lambda pr: _decay_vectors(pr, dt, dtype))(params)
+        coeff = pad_lane(coeff[..., 0]).T  # (54, nb)
+        offs = pad_lane(offs[..., 0]).T
+        geo_l = jnp.stack(
+            [
+                params.projection.lat0.astype(dtype),
+                1.0 / params.projection.m_rad.astype(dtype),
+            ],
+            axis=-1,
+        )
+        q0m = pad_lane(geo_l).T  # (2, nb) per-lane geography anchor
+        scal = jnp.concatenate(
+            [dt[None], jnp.zeros(2, dtype), jnp.asarray([geo.EARTHW], dtype), jnp.zeros(10, dtype)]
+        )[:, None]
+    else:
+        coeff, offs = _decay_vectors(params, dt, dtype)
+        q0m = dt**2 * q0
+        q0m = q0m.at[so, so].set(0.0)[:, :, None]
+        scal = jnp.concatenate(
+            [
+                dt[None],
+                params.projection.lat0.astype(dtype)[None],
+                (1.0 / params.projection.m_rad.astype(dtype))[None],
+                jnp.asarray([geo.EARTHW], dtype),
+                (params.water_velocity_scale.astype(dtype) * dt**3)[None],
+                (dt**2 * q0[so, so]).reshape(9),
+            ]
+        )[:, None]
 
     cov_t2, mu_t2 = _pose_predict_lanes(
-        cov_t, mu_t, rr_t, coeff, offs, q0m, scal, interpret=interpret
+        cov_t, mu_t, rr_t, coeff, offs, q0m, scal, interpret=interpret,
+        banked_params=banked_params,
     )
     cov_out = jnp.transpose(cov_t2, (2, 1, 0))[:nb]
+    if banked_params:
+        # per-instance Q in XLA (needs the full banked params); symmetrized so
+        # the output matches the kernel-side exact symmetry convention
+        q = jax.vmap(lambda m, pr: pukf.assemble_process_noise(m, pr, dt))(state.mu, params)
+        cov_out = cov_out + 0.5 * (q + jnp.swapaxes(q, -1, -2))
     mu_out = _unpack_storage(mu_t2.T[:nb], state.mu)
     return state._replace(mu=mu_out, cov=cov_out)
 

@@ -518,22 +518,24 @@ def predict_bank(
     """Bank-level prediction (leading bank axis on every state leaf).
 
     Dispatches to the fully-fused Pallas kernel (``models.pose_fused``) on the
-    TPU f32 deployment path with a shared parameter set — one launch for the
-    whole bank instead of the generic XLA op chain (+~20% step throughput on a
-    v5e, identical math; parity pinned by ``tests/test_pose_fused.py``).
-    Falls back to ``vmap(predict)`` for f64 oracle runs, CPU, or per-instance
-    (Monte-Carlo) parameter banks."""
+    TPU f32 deployment path — one launch for the whole bank instead of the
+    generic XLA op chain (~2.3× step throughput on a v5e, identical math;
+    parity pinned by ``tests/test_pose_fused.py``). Both shared and banked
+    (Monte-Carlo sweep) parameter sets are supported; falls back to
+    ``vmap(predict)`` for f64 oracle runs and CPU."""
     if use_fused == "auto":
         use_fused = (
             bstate.cov.dtype == jnp.float32
             and bstate.cov.ndim == 3
-            and params.process_noise.ndim == 2
+            and params.process_noise.ndim in (2, 3)
             and jax.default_backend() == "tpu"
         )
     if use_fused:
         from . import pose_fused
 
         return pose_fused.predict_fused_banked(bstate, params, dt)
+    if params.process_noise.ndim == 3:  # per-instance parameter bank
+        return jax.vmap(lambda s, p: predict(s, p, dt))(bstate, params)
     return jax.vmap(lambda s: predict(s, params, dt))(bstate)
 
 

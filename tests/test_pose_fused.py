@@ -313,3 +313,33 @@ def test_fused_parity_fuzz_random_states_and_dt():
         np.testing.assert_array_equal(
             np.asarray(info3.accepted), np.asarray(info.accepted), err_msg=f"trial {trial} gate"
         )
+
+
+def test_fused_predict_banked_params_matches_generic():
+    """Monte-Carlo parameter banks through the fused kernel: per-instance
+    taus/offsets/process noise must match vmap(predict) over (state, params)."""
+    bstate, params = _make_bank(3)
+    n = 3
+    # per-instance parameter bank: perturb taus, offsets and Q per instance
+    scales = jnp.asarray([0.5, 1.0, 2.0], jnp.float32)
+    params_bank = jax.vmap(
+        lambda s: params._replace(
+            process_noise=params.process_noise * s,
+            gyro_bias_tau=params.gyro_bias_tau * s,
+            water_velocity_tau=params.water_velocity_tau / s,
+            gyro_bias_offset=params.gyro_bias_offset + (s - 1.0) * 1e-4,
+            water_velocity_scale=params.water_velocity_scale * s,
+        )
+    )(scales)
+
+    ref = jax.vmap(lambda st, pr: pukf.predict(st, pr, 0.05))(bstate, params_bank)
+    out = pose_fused.predict_fused_banked(bstate, params_bank, 0.05, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), rtol=5e-3, atol=3e-6)
+    for name in ("position", "velocity", "bias_gyro", "water_velocity"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out.mu, name)),
+            np.asarray(getattr(ref.mu, name)),
+            rtol=1e-4,
+            atol=2e-5,
+            err_msg=name,
+        )
