@@ -554,11 +554,19 @@ def update_bank(
     (``deps`` = the PoseState fields ``h`` reads). Fused Pallas tail on the
     TPU f32 shared-params path (``models.pose_update_fused``); generic
     ``vmap(ukf.update)`` otherwise."""
+    if params.process_noise.ndim == 3:
+        # ``h`` is already closed over the (banked) params, so neither the
+        # fused tail nor a state-only vmap can evaluate it per instance —
+        # sweep measurement updates via the per-instance functions instead.
+        raise ValueError(
+            "update_bank received a banked parameter set; use "
+            "jax.vmap(update_<sensor>)(state, params, ...) for parameter "
+            "sweeps (predict_bank supports banked params directly)"
+        )
     if use_fused == "auto":
         use_fused = (
             bstate.cov.dtype == jnp.float32
             and bstate.cov.ndim == 3
-            and params.process_noise.ndim == 2
             and jax.default_backend() == "tpu"
         )
     if use_fused:

@@ -343,3 +343,17 @@ def test_fused_predict_banked_params_matches_generic():
             atol=2e-5,
             err_msg=name,
         )
+
+
+def test_update_bank_rejects_banked_params():
+    bstate, params = _make_bank(2)
+    params_bank = jax.vmap(lambda s: params._replace(process_noise=params.process_noise * s))(
+        jnp.asarray([1.0, 2.0], jnp.float32)
+    )
+    z = jnp.zeros((2, 3), jnp.float32)
+    r = jnp.eye(3, dtype=jnp.float32) * 1e-3
+    try:
+        pukf.update_velocity_bank(bstate, params_bank, z, r)
+        assert False, "expected ValueError for banked params"
+    except ValueError as e:
+        assert "banked parameter set" in str(e)
