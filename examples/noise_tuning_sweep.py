@@ -71,21 +71,21 @@ def main(candidates=8, seconds=20.0, rate=25.0, seed=0):
     dvl = jnp.asarray(dvl, dtype)
     r_dvl = jnp.eye(3, dtype=dtype) * (2e-3) ** 2 * 4
 
-    def replay_one(p):
-        """One candidate: full trajectory, returns mean DVL NIS."""
-        s = pukf.integrate_rotation_rate(state, jnp.zeros(3, dtype))
+    # bank of identical initial states, one per candidate; the banked-params
+    # fused predict kernel engages on TPU (per-lane decay operands)
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
 
-        def tick(s, z):
-            s = pukf.predict(s, p, dt)
-            s, info = pukf.update_velocity(s, p, z, r_dvl)
-            return s, info.mahalanobis2
+    s0 = pukf.integrate_rotation_rate(state, jnp.zeros(3, dtype))
+    bstate = bankmod.replicate(s0, candidates)
 
-        _, nis = jax.lax.scan(tick, s, dvl)
-        return nis.mean()
+    def tick(bs, z):
+        bs = pukf.predict_bank(bs, params_bank, dt)
+        bs, info = jax.vmap(lambda s, p: pukf.update_velocity(s, p, z, r_dvl))(bs, params_bank)
+        return bs, info.mahalanobis2
 
-    sweep = jax.jit(jax.vmap(replay_one))
+    sweep = jax.jit(lambda bs: jax.lax.scan(tick, bs, dvl)[1].mean(axis=0))
     t0 = time.perf_counter()
-    mean_nis = np.asarray(sweep(params_bank))
+    mean_nis = np.asarray(sweep(bstate))
     wall = time.perf_counter() - t0
 
     # consistency target: E[NIS] = measurement dim = 3
