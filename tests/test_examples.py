@@ -48,3 +48,23 @@ def test_noise_tuning_sweep_brackets_consistency():
 
     best = noise_tuning_sweep.main(candidates=6, seconds=10.0)
     assert 0.05 < best < 5.0
+
+
+def test_example_clis_parse():
+    """Every example's argument parser works (catches signature drift)."""
+    import subprocess
+
+    root = Path(__file__).resolve().parents[1]
+    for name in (
+        "icra18_mission.py",
+        "fleet_monte_carlo.py",
+        "online_estimator.py",
+    ):
+        out = subprocess.run(
+            [sys.executable, str(root / "examples" / name), "--help"],
+            capture_output=True,
+            text=True,
+            timeout=120,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert out.returncode == 0, f"{name} --help failed: {out.stderr[-500:]}"
