@@ -357,3 +357,23 @@ def test_update_bank_rejects_banked_params():
         assert False, "expected ValueError for banked params"
     except ValueError as e:
         assert "banked parameter set" in str(e)
+
+
+def test_fused_predict_odd_bank_sizes():
+    """Lane padding correctness for non-multiple-of-128 banks (1 and 129),
+    with per-instance distinct states so a padding mix-up would show."""
+    for nb in (1, 129):
+        bstate, params = _make_bank(2)
+        one = jax.tree_util.tree_map(lambda a: a[0], bstate)
+        bs = jax.tree_util.tree_map(lambda a: jnp.tile(a[None], (nb, *(1,) * a.ndim)), one)
+        bs = bs._replace(
+            mu=bs.mu._replace(
+                velocity=jnp.arange(nb * 3, dtype=jnp.float32).reshape(nb, 3) * 1e-3
+            )
+        )
+        out = pose_fused.predict_fused_banked(bs, params, 0.02, interpret=True)
+        ref = jax.vmap(lambda s: pukf.predict(s, params, 0.02))(bs)
+        np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(out.mu.velocity), np.asarray(ref.mu.velocity), atol=1e-6
+        )
