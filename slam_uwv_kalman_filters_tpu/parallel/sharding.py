@@ -108,7 +108,10 @@ def bank_shard_map(fn, mesh: Mesh, axis: str = BANK_AXIS):
 
     ``fn``'s inputs and outputs must all carry the bank as their leading
     axis (ensemble reductions belong outside the wrapped step)."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
 
     def wrapped(*bank_args):
         in_specs = jax.tree_util.tree_map(lambda _: P(axis), bank_args)
