@@ -108,10 +108,20 @@ def bank_shard_map(fn, mesh: Mesh, axis: str = BANK_AXIS):
 
     ``fn``'s inputs and outputs must all carry the bank as their leading
     axis (ensemble reductions belong outside the wrapped step)."""
+    import inspect
+
     try:
         from jax import shard_map  # jax >= 0.8
     except ImportError:  # pragma: no cover — older jax
         from jax.experimental.shard_map import shard_map
+
+    # replication checking was renamed check_rep → check_vma in jax 0.8; it
+    # must be off because steps close over replicated parameter pytrees
+    check_kw = (
+        {"check_vma": False}
+        if "check_vma" in inspect.signature(shard_map).parameters
+        else {"check_rep": False}
+    )
 
     def wrapped(*bank_args):
         in_specs = jax.tree_util.tree_map(lambda _: P(axis), bank_args)
@@ -119,7 +129,7 @@ def bank_shard_map(fn, mesh: Mesh, axis: str = BANK_AXIS):
             lambda _: P(axis), jax.eval_shape(fn, *bank_args)
         )
         return shard_map(
-            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **check_kw
         )(*bank_args)
 
     return wrapped
