@@ -1,3 +1,3 @@
-from . import bank, checkpoint, sharding
+from . import bank, checkpoint, failover, sharding
 
-__all__ = ["bank", "checkpoint", "sharding"]
+__all__ = ["bank", "checkpoint", "failover", "sharding"]
