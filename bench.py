@@ -15,7 +15,8 @@ which is what the reference's ukfom/MTK stack compiles to. ``vs_baseline`` is
 the speedup of the batched TPU path over that single-instance CPU rate (the
 north-star target is ≥100×).
 
-Environment knobs: BENCH_BANK (default 8192), BENCH_ITERS (default 30),
+Environment knobs: BENCH_BANK (default 32768 — measured flat from 32k up to
+196k instances, ~1.6% below peak at 8k), BENCH_ITERS (default 30),
 BENCH_DTYPE (float32 on TPU — f64 does not compile on this backend).
 """
 
@@ -160,7 +161,7 @@ def bench_tpu_bank(state, step, bank_n, iters, dtype):
     return bank_n * iters / dt
 
 
-def bench_cpu_single(scenario="pose", iters=200):
+def bench_cpu_single(scenario="pose", iters=300):
     """Single-instance rate on one CPU core — the C++-semantics stand-in
     (XLA-CPU scalar code ≈ Eigen codegen). Requests f64; falls back to f32
     when x64 is disabled in-process, which only makes the baseline FASTER,
@@ -171,13 +172,13 @@ def bench_cpu_single(scenario="pose", iters=200):
         z = jnp.array([0.3, 0.0, 0.0], jnp.float64)
         r = jnp.eye(3, dtype=jnp.float64) * 1e-3
         jstep = jax.jit(step)
-        # warm thoroughly, then take the best of 3 timed passes — the host is
+        # warm thoroughly, then take the best of 5 timed passes — the host is
         # shared, so single-pass timings swing several-fold
         for _ in range(20):
             state = jstep(state, z, r)
         jax.block_until_ready(state)
         best = 0.0
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             for _ in range(iters):
                 state = jstep(state, z, r)
@@ -187,7 +188,7 @@ def bench_cpu_single(scenario="pose", iters=200):
 
 
 def main():
-    bank_n = int(os.environ.get("BENCH_BANK", "8192"))
+    bank_n = int(os.environ.get("BENCH_BANK", "32768"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     scenario = os.environ.get("BENCH_SCENARIO", "pose")
     backend = jax.default_backend()
