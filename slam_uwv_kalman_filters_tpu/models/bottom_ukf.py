@@ -147,6 +147,10 @@ class BottomUKF:
     def prediction_step(self, dt: float) -> None:
         self.state = predict(self.state, self.params, dt)
 
+    def set_process_noise_covariance(self, q) -> None:
+        """Raw-Q setter of the filter base class (``setProcessNoiseCovariance``)."""
+        self.params = self.params._replace(process_noise=jnp.asarray(q))
+
     def integrate_range_measurement(self, mu, cov, unit_direction, origin) -> ukf.UpdateInfo:
         check_measurement(mu, cov)
         self.state, info = update_range(

@@ -290,6 +290,10 @@ class IndirectPoseUKF:
     def prediction_step(self, dt: float) -> None:
         self.state = predict(self.state, self.params, dt)
 
+    def set_process_noise_covariance(self, q) -> None:
+        """Raw-Q setter of the filter base class (``setProcessNoiseCovariance``)."""
+        self.params = self.params._replace(process_noise=jnp.asarray(q))
+
     def update_pose_reference(self, position, orientation) -> None:
         self.state = update_pose_reference(
             self.state, jnp.asarray(position), jnp.asarray(orientation)

@@ -1115,6 +1115,11 @@ class PoseUKF:
             process_noise=process_noise_from_config(config, imu_delta_t, imu_in_body_rot)
         )
 
+    def set_process_noise_covariance(self, q) -> None:
+        """Raw-Q setter of the filter base class (``setProcessNoiseCovariance``,
+        called at ``src/PoseUKF.cpp:438``)."""
+        self.params = self.params._replace(process_noise=jnp.asarray(q))
+
     def _upd(self, fn, mu, cov, *args, **kw) -> ukf.UpdateInfo:
         check_measurement(mu, cov)
         self.state, info = fn(self.state, self.params, jnp.asarray(mu), jnp.asarray(cov), *args, **kw)

@@ -230,6 +230,12 @@ class VelocityUKF:
         self._require_model()
         self.state = predict(self.state, self.params, dt)
 
+    def set_process_noise_covariance(self, q) -> None:
+        """Raw-Q setter of the filter base class (the reference assigns
+        ``process_noise_cov`` at ``src/VelocityUKF.cpp:54-56``)."""
+        self._require_model()
+        self.params = self.params._replace(process_noise=jnp.asarray(q))
+
     def integrate_dvl_measurement(self, mu, cov) -> ukf.UpdateInfo:
         self._require_model()
         check_measurement(mu, cov)

@@ -404,3 +404,38 @@ def test_class_wrapper_smoke():
     with pytest.raises(ValueError):
         f.integrate_velocity(np.array([np.nan, 0, 0]), np.eye(3))
     assert f.sigma.shape == (53, 53)
+
+
+def test_set_process_noise_covariance_all_wrappers():
+    """The base class's raw-Q setter (setProcessNoiseCovariance,
+    src/PoseUKF.cpp:438, src/VelocityUKF.cpp:54-56) on every filter wrapper."""
+    from slam_uwv_kalman_filters_tpu.models import bottom_ukf as bukf
+    from slam_uwv_kalman_filters_tpu.models import indirect_pose_ukf as iukf
+    from slam_uwv_kalman_filters_tpu.models import velocity_ukf as vukf
+
+    f = pukf.PoseUKF(
+        np.zeros(3), np.eye(3) * 0.01, np.array([1.0, 0, 0, 0]), np.eye(3) * 1e-4, CFG, MODEL
+    )
+    q = np.eye(53) * 1e-5
+    f.set_process_noise_covariance(q)
+    np.testing.assert_array_equal(np.asarray(f.params.process_noise), q)
+
+    v = vukf.VelocityUKF(
+        vukf.VelocityState(velocity=jnp.zeros(3), z_position=jnp.zeros(1)), np.eye(4) * 0.1
+    )
+    with pytest.raises(RuntimeError):
+        v.set_process_noise_covariance(np.eye(4))
+    v.setup_motion_model(MODEL)
+    v.set_process_noise_covariance(np.eye(4) * 1e-4)
+    np.testing.assert_array_equal(np.asarray(v.params.process_noise), np.eye(4) * 1e-4)
+
+    b = bukf.BottomUKF(
+        bukf.BottomState(distance=jnp.array([10.0]), normal=jnp.array([0.0, 0.0, 1.0])),
+        np.diag([1.0, 0.05, 0.05]),
+    )
+    b.set_process_noise_covariance(np.eye(3) * 1e-3)
+    np.testing.assert_array_equal(np.asarray(b.params.process_noise), np.eye(3) * 1e-3)
+
+    i = iukf.IndirectPoseUKF((0.05,) * 3, (0.02,) * 3, 30.0)
+    i.set_process_noise_covariance(np.eye(6) * 1e-6)
+    np.testing.assert_array_equal(np.asarray(i.params.process_noise), np.eye(6) * 1e-6)
