@@ -335,29 +335,29 @@ def _pose_predict_body(
     wvq = f1(_S_WVQ) * (v0 * v0 + v1 * v1 + 100.0 * v2 * v2)  # (1, B)
 
     # ---- phase E: covariance 1/2*sum_i(D_i D_i^T) + Q, rows, sigma-chunked -
+    # Half-triangle only: cov_ref[nn, nn:] — exactly the half the downstream
+    # equilibrated Cholesky reads (column j at entries >= j in this (col,
+    # row, B) layout). The matrix and Q are symmetric, so the other half is
+    # mirrored in XLA at the public boundary (_mirror_half; the lanes
+    # protocol defers it to from_lanes). This phase is VPU-FMA-bound; halving
+    # the range cuts its work ~1.8x (padded-sublane average 31 vs 56).
     for nn in range(TANGENT_DIM):
         acc = None
         for lo, hi in ((0, 54), (54, NSIG)):
-            part = jnp.sum(y_ref[lo:hi, 0:53] * y_ref[lo:hi, nn, :][:, None, :], axis=0)
+            part = jnp.sum(y_ref[lo:hi, nn:53] * y_ref[lo:hi, nn, :][:, None, :], axis=0)
             acc = part if acc is None else acc + part
         if banked_params:
-            cov_ref[nn] = 0.5 * acc  # raw reconstruction; Q added in XLA
+            cov_ref[nn, nn:53] = 0.5 * acc  # raw reconstruction; Q added in XLA
             continue
-        acc = 0.5 * acc + q0m_ref[nn]  # q0m broadcast (53, 1) over lanes
+        acc = 0.5 * acc + q0m_ref[nn, nn:53]  # q0m broadcast over lanes
         if 3 <= nn < 6:
-            acc = jnp.concatenate(
-                [
-                    acc[0:3],
-                    acc[3:4] + B3[0][nn - 3],
-                    acc[4:5] + B3[1][nn - 3],
-                    acc[5:6] + B3[2][nn - 3],
-                    acc[6:],
-                ],
-                axis=0,
-            )
+            # rotated-orientation noise block entries (nn, c) for c in nn..5;
+            # B3 is exactly symmetric, so the mirror reproduces the rest
+            pieces = [acc[c - nn : c - nn + 1] + B3[c - 3][nn - 3] for c in range(nn, 6)]
+            acc = jnp.concatenate(pieces + [acc[6 - nn :]], axis=0)
         if 46 <= nn < 50:
-            acc = jnp.concatenate([acc[0:nn], acc[nn : nn + 1] + wvq, acc[nn + 1 :]], axis=0)
-        cov_ref[nn] = acc
+            acc = jnp.concatenate([acc[0:1] + wvq, acc[1:]], axis=0)
+        cov_ref[nn, nn:53] = acc
 
 
 def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret,
@@ -380,7 +380,7 @@ def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret,
             full_spec(STORAGE_DIM, 1),
             full_spec(n, n, 1),
         ]
-    return pl.pallas_call(
+    cov_out, mu_out = pl.pallas_call(
         _make_predict_kernel(banked_params),
         out_shape=(
             jax.ShapeDtypeStruct((n, n, nb), cov_t.dtype),
@@ -401,6 +401,23 @@ def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret,
         ],
         interpret=interpret,
     )(cov_t, mu_t, rr_t, coeff, offs, q0m, scal)
+    # NOTE: cov_out is LOWER-TRIANGLE-VALID only (upper half is uninitialized
+    # VMEM). Callers either mirror it (_mirror_half — the public bank API) or
+    # pass it on as-is: every fused consumer (the equilibrated Cholesky and
+    # the elementwise update downdate) reads only the lower triangle, so the
+    # lanes protocol defers the mirror to from_lanes.
+    return cov_out, mu_out
+
+
+def _mirror_half(cov_t: jax.Array) -> jax.Array:
+    """Rebuild the exactly symmetric matrix from a half-valid (n, n, B)
+    covariance (valid at [i, j>=i] — the half the predict kernel writes) by
+    mirroring (a major-dims transpose — the lane axis stays minor, so this is
+    a cheap relayout copy in XLA, far cheaper than computing the other half
+    on the VPU in-kernel)."""
+    n = cov_t.shape[0]
+    keep = jnp.triu(jnp.ones((n, n), bool))[..., None]
+    return jnp.where(keep, cov_t, jnp.swapaxes(cov_t, 0, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -560,7 +577,7 @@ def predict_fused_banked(
         cov_t, mu_t, rr_t, coeff, offs, q0m, scal, interpret=interpret,
         banked_params=banked_params,
     )
-    cov_out = jnp.transpose(cov_t2, (2, 1, 0))[:nb]
+    cov_out = jnp.transpose(_mirror_half(cov_t2), (2, 1, 0))[:nb]
     if banked_params:
         # per-instance Q in XLA (needs the full banked params); symmetrized so
         # the output matches the kernel-side exact symmetry convention
@@ -583,7 +600,13 @@ def predict_fused_banked(
 class LanesBankState(NamedTuple):
     """PoseUKF bank in kernel layout: covariance (53, 53, nb) (col, row, B),
     mean (54, nb) storage rows, rotation rate (3, nb); ``nb`` is padded to a
-    lane multiple and ``valid`` is the true bank size."""
+    lane multiple and ``valid`` is the true bank size.
+
+    ``cov_t`` is LOWER-TRIANGLE-VALID between fused calls: the predict kernel
+    computes only cov(r, c≤r) (the symmetric upper half would double the
+    VPU-bound reconstruct work) and every fused consumer reads only that
+    half; ``from_lanes`` mirrors back to exact symmetry on exit. Read
+    ``cov_t`` directly only through ``from_lanes``."""
 
     cov_t: jax.Array  # (53, 53, nb)
     mu_t: jax.Array  # (54, nb)
@@ -614,9 +637,11 @@ def to_lanes(state: "PoseUKFState") -> LanesBankState:
 
 def from_lanes(lstate: LanesBankState, like: "PoseUKFState") -> "PoseUKFState":
     """Kernel-layout state → bank-first pytree state (drops padding).
-    ``like`` supplies the pytree structure (any state of the same bank)."""
+    ``like`` supplies the pytree structure (any state of the same bank).
+    Mirrors the lower-triangle-valid covariance back to exact symmetry (the
+    one place the lanes protocol pays the mirror — see _pose_predict_lanes)."""
     nb = like.cov.shape[0]
-    cov = jnp.transpose(lstate.cov_t, (2, 1, 0))[:nb]
+    cov = jnp.transpose(_mirror_half(lstate.cov_t), (2, 1, 0))[:nb]
     mu = _unpack_storage(lstate.mu_t.T[:nb], like.mu)
     return like._replace(mu=mu, cov=cov, rotation_rate=lstate.rr_t.T[:nb])
 
