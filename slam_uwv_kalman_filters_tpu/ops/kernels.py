@@ -66,15 +66,28 @@ def _cholesky_lanes_kernel(a_ref, out_ref):
     n, _, b = a_ref.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
     out_ref[:] = a_ref[:]
+    # Same sublane-aligned triangular restriction as the equilibrated core
+    # above: column j is only read at rows ≥ j, so compute and downdate only
+    # the aligned row tail [rs(j):] and overwrite the head with exact zeros
+    # when the column is finalized (~⅓ fewer FMAs/VMEM writes).
     for j in range(n):
-        col = out_ref[j]  # (n, B) column j, fully downdated
-        d = jnp.sqrt(col[j : j + 1])  # (1, B) pivot
-        below = jnp.where(row > j, col * (1.0 / d), jnp.zeros((), col.dtype))
-        out_ref[j] = jnp.where(row == j, d, below)
+        rs = (j // 8) * 8
+        colt = out_ref[j, rs:]  # (n-rs, B) row tail of column j
+        d = jnp.sqrt(colt[j - rs : j - rs + 1])  # (1, B) pivot
+        rowt = row[rs:]
+        belowt = jnp.where(rowt > j, colt * (1.0 / d), jnp.zeros((), colt.dtype))
+        finalt = jnp.where(rowt == j, d, belowt)
+        out_ref[j] = (
+            jnp.concatenate([jnp.zeros((rs, b), finalt.dtype), finalt], axis=0)
+            if rs
+            else finalt
+        )
         if j + 1 < n:
             # rank-1 downdate of trailing columns k > j: A[k] -= L[k,j]·L[:,j]
-            coeff = below[j + 1 :]  # (n-j-1, B) = L[k, j] per trailing column
-            out_ref[j + 1 :] = out_ref[j + 1 :] - coeff[:, None, :] * below[None, :, :]
+            rs2 = ((j + 1) // 8) * 8
+            out_ref[j + 1 :, rs2:] = out_ref[j + 1 :, rs2:] - (
+                belowt[j + 1 - rs :][:, None, :] * belowt[rs2 - rs :][None, :, :]
+            )
 
 
 def _cholesky_lanes(x_t: jax.Array, *, interpret: bool) -> jax.Array:
@@ -107,16 +120,34 @@ def equilibrated_sigma_columns(a_ref, s_ref, write_column) -> None:
     diag = jnp.concatenate([a_ref[j, j : j + 1, :] for j in range(n)], axis=0)  # (n,B)
     dvec = jnp.sqrt(jnp.maximum(diag, tiny))
     dinv = 1.0 / dvec
+    # Triangular restriction, sublane-aligned: column j is only ever READ at
+    # rows ≥ j (the diagonal pivot and the below-diagonal tail — rows < j are
+    # masked or overwritten with the explicit zeros head), so all compute and
+    # scratch writes run on the aligned row tail [rs(j):] with rs(j) =
+    # 8⌊j/8⌋. This drops ~⅓ of the factorization's FMAs/VMEM writes
+    # (Σ(n-j)·rs vs Σ(n-j)·n) at identical results, and makes the whole core
+    # tolerant of half-valid inputs (a_ref upper rows < j never read).
     for j in range(n):
-        s_ref[j] = a_ref[j] * (dinv[j : j + 1, :] * dinv)
+        rs = (j // 8) * 8
+        s_ref[j, rs:] = a_ref[j, rs:] * (dinv[j : j + 1, :] * dinv[rs:])
     for j in range(n):
-        col = s_ref[j]  # (n, B) equilibrated column j, fully downdated
-        dj = jnp.sqrt(col[j : j + 1])
-        below = jnp.where(row > j, col * (1.0 / dj), jnp.zeros((), col.dtype))
-        final = jnp.where(row == j, dj, below) * dvec  # un-equilibrated L[:, j]
+        rs = (j // 8) * 8
+        colt = s_ref[j, rs:]  # (n-rs, B) row tail of equilibrated column j
+        dj = jnp.sqrt(colt[j - rs : j - rs + 1])
+        rowt = row[rs:]
+        belowt = jnp.where(rowt > j, colt * (1.0 / dj), jnp.zeros((), colt.dtype))
+        finalt = jnp.where(rowt == j, dj, belowt) * dvec[rs:]  # un-equilibrated
+        final = (
+            jnp.concatenate([jnp.zeros((rs, b), finalt.dtype), finalt], axis=0)
+            if rs
+            else finalt
+        )
         write_column(j, final)
         if j + 1 < n:
-            s_ref[j + 1 :] = s_ref[j + 1 :] - below[j + 1 :][:, None, :] * below[None, :, :]
+            rs2 = ((j + 1) // 8) * 8
+            s_ref[j + 1 :, rs2:] = s_ref[j + 1 :, rs2:] - (
+                belowt[j + 1 - rs :][:, None, :] * belowt[rs2 - rs :][None, :, :]
+            )
 
 
 def _sigma_deltas_kernel(a_ref, out_ref, s_ref):
