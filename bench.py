@@ -223,6 +223,10 @@ def bench_cpu_single(scenario="pose", iters=300):
 
 
 def main():
+    # persistent compile cache: the fused kernels take ~1-2 min of (remote)
+    # compile per shape on first use; cached reruns start in seconds
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     bank_n = int(os.environ.get("BENCH_BANK", "32768"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     scenario = os.environ.get("BENCH_SCENARIO", "pose")

@@ -123,31 +123,53 @@ def equilibrated_sigma_columns(a_ref, s_ref, write_column) -> None:
     # Triangular restriction, sublane-aligned: column j is only ever READ at
     # rows ≥ j (the diagonal pivot and the below-diagonal tail — rows < j are
     # masked or overwritten with the explicit zeros head), so all compute and
-    # scratch writes run on the aligned row tail [rs(j):] with rs(j) =
-    # 8⌊j/8⌋. This drops ~⅓ of the factorization's FMAs/VMEM writes
-    # (Σ(n-j)·rs vs Σ(n-j)·n) at identical results, and makes the whole core
-    # tolerant of half-valid inputs (a_ref upper rows < j never read).
+    # scratch writes run on the aligned row tail [jb:] of the 8-column block
+    # holding j. This drops ~⅓ of the factorization's FMAs/VMEM writes and
+    # makes the whole core tolerant of half-valid inputs (a_ref rows < j of a
+    # column are never read).
+    #
+    # Blocked (rank-8) Schur downdates: the classic right-looking loop
+    # re-reads and re-writes the whole trailing slab once PER COLUMN. Here
+    # columns are factored in sublane-aligned panels of 8 — within a panel
+    # the (column-sized) downdates of earlier panel columns are applied on
+    # the fly — and the trailing slab gets ONE fused rank-8 update per panel:
+    # 8× fewer slab read-modify-writes for identical FMAs and identical
+    # results (the update order per element is unchanged: products are summed
+    # in ascending column order).
     for j in range(n):
         rs = (j // 8) * 8
         s_ref[j, rs:] = a_ref[j, rs:] * (dinv[j : j + 1, :] * dinv[rs:])
-    for j in range(n):
-        rs = (j // 8) * 8
-        colt = s_ref[j, rs:]  # (n-rs, B) row tail of equilibrated column j
-        dj = jnp.sqrt(colt[j - rs : j - rs + 1])
-        rowt = row[rs:]
-        belowt = jnp.where(rowt > j, colt * (1.0 / dj), jnp.zeros((), colt.dtype))
-        finalt = jnp.where(rowt == j, dj, belowt) * dvec[rs:]  # un-equilibrated
-        final = (
-            jnp.concatenate([jnp.zeros((rs, b), finalt.dtype), finalt], axis=0)
-            if rs
-            else finalt
-        )
-        write_column(j, final)
-        if j + 1 < n:
-            rs2 = ((j + 1) // 8) * 8
-            s_ref[j + 1 :, rs2:] = s_ref[j + 1 :, rs2:] - (
-                belowt[j + 1 - rs :][:, None, :] * belowt[rs2 - rs :][None, :, :]
+    for jb in range(0, n, 8):
+        je = min(jb + 8, n)
+        rowt = row[jb:]
+        for j in range(jb, je):
+            colt = s_ref[j, jb:]  # (n-jb, B): downdated by all panels < jb
+            for jj in range(jb, j):  # pending downdates from this panel
+                bt = s_ref[jj, jb:]  # materialized below-vector of column jj
+                colt = colt - bt[j - jb : j - jb + 1] * bt
+            dj = jnp.sqrt(colt[j - jb : j - jb + 1])
+            belowt = jnp.where(rowt > j, colt * (1.0 / dj), jnp.zeros((), colt.dtype))
+            finalt = jnp.where(rowt == j, dj, belowt) * dvec[jb:]  # un-equilibrated
+            final = (
+                jnp.concatenate([jnp.zeros((jb, b), finalt.dtype), finalt], axis=0)
+                if jb
+                else finalt
             )
+            write_column(j, final)
+            # materialize the below-vector over its (now dead) scratch column:
+            # panel mates and the slab update read it back as a value, which
+            # keeps every expression tree linear (leaving the belows as lazy
+            # expressions nests each column's tree inside the next —
+            # exponential blowup that stalls the Mosaic compiler)
+            s_ref[j, jb:] = belowt
+        if je < n:
+            cut = je - jb
+            upd = None
+            for jj in range(jb, je):
+                bt = s_ref[jj, jb:]
+                term = bt[cut:][:, None, :] * bt[cut:][None, :, :]
+                upd = term if upd is None else upd + term
+            s_ref[je:, je:] = s_ref[je:, je:] - upd
 
 
 def _sigma_deltas_kernel(a_ref, out_ref, s_ref):
