@@ -144,11 +144,11 @@ def _build_pose_step(dtype):
     from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
     from slam_uwv_kalman_filters_tpu.ops import manifolds as mf
 
-    h_vel = lambda s: mf.quat_rotate_inv(s.orientation, s.velocity)
-
     def lanes_step(ls, z, r):
         ls = pf.predict_lanes(ls, params, 0.01)
-        ls, _ = puf.update_lanes(ls, params, z, r, h_vel, ("orientation", "velocity"), None)
+        # DVL measurement model fused in-kernel: the sigma-delta tensor never
+        # round-trips HBM (models/pose_update_fused.update_velocity_lanes)
+        ls, _ = puf.update_velocity_lanes(ls, params, z, r, None)
         return ls
 
     step.lanes = (pf.to_lanes, lanes_step)

@@ -591,6 +591,19 @@ def update_bank(
 
 def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     """Bank-level DVL velocity update (``PoseUKF.cpp:117-123,476-482``)."""
+    if use_fused == "auto":
+        use_fused = (
+            bstate.cov.dtype == jnp.float32
+            and bstate.cov.ndim == 3
+            and jax.default_backend() == "tpu"
+        )
+    if use_fused and params.process_noise.ndim != 3:
+        # DVL is the highest-rate sensor: route to the whole-update kernel
+        # with the measurement model fused in-kernel (no sigma-delta HBM
+        # round trip) instead of the generic deltas → XLA-h → tail pipeline
+        from . import pose_update_fused
+
+        return pose_update_fused.update_velocity_fused_banked(bstate, params, z, meas_cov)
     return update_bank(
         bstate,
         params,

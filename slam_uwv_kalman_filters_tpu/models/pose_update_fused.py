@@ -45,7 +45,12 @@ from .pose_fused import (
 if TYPE_CHECKING:
     from .pose_ukf import PoseUKFParams, PoseUKFState
 
-__all__ = ["update_fused_banked", "update_lanes"]
+__all__ = [
+    "update_fused_banked",
+    "update_lanes",
+    "update_velocity_lanes",
+    "update_velocity_fused_banked",
+]
 
 
 def _make_update_kernel(m: int):
@@ -65,92 +70,102 @@ def _make_update_kernel(m: int):
         # measurement-space components as (107, B) — sigma axis on sublanes
         # (a (107, 1, B) slice tiles at 1/8 sublane occupancy)
         dzc = [dz_ref[:, a, :] for a in range(m)]
-        nu = nu_ref[:]  # (m, B)
-        thr = scal_ref[0, 0]
-
-        # S = ½ΣdZdZᵀ + R (m small — all entries as (1, B) lane vectors)
-        S = [[None] * m for _ in range(m)]
-        for a in range(m):
-            for b2 in range(a + 1):
-                v = 0.5 * jnp.sum(dzc[a] * dzc[b2], axis=0, keepdims=True) + r_ref[
-                    a, b2 : b2 + 1, :
-                ]
-                S[a][b2] = v
-                S[b2][a] = v
-        # unrolled lane-wise Cholesky of S (ops/linalg_small.py pattern)
-        L = [[None] * m for _ in range(m)]
-        for j in range(m):
-            s = S[j][j]
-            for k in range(j):
-                s = s - L[j][k] * L[j][k]
-            dgj = jnp.sqrt(s)
-            L[j][j] = dgj
-            inv_d = 1.0 / dgj
-            for i in range(j + 1, m):
-                t = S[i][j]
-                for k in range(j):
-                    t = t - L[i][k] * L[j][k]
-                L[i][j] = t * inv_d
-        inv_diag = [1.0 / L[i][i] for i in range(m)]
-
-        # cross-covariance C = ½ΣδdZᵀ, sigma-chunked to bound VMEM temps
-        C = []
-        for a in range(m):
-            acc = None
-            for lo, hi in ((0, 54), (54, NSIG)):
-                part = jnp.sum(d_ref[lo:hi] * dzc[a][lo:hi][:, None, :], axis=0)
-                acc = part if acc is None else acc + part
-            C.append(0.5 * acc)  # (53, B)
-
-        # W = K·L  solves K·S·Kᵀ = W·Wᵀ without forming S⁻¹:
-        # K = C·S⁻¹ = C·L⁻ᵀ·L⁻¹ ⇒ W = K·L = C·L⁻ᵀ, i.e. L·Wᵀ = Cᵀ —
-        # forward substitution (ascending; the descending variant computes
-        # C·L⁻¹, which agrees only when S is (near-)diagonal)
-        W = [None] * m
-        for i in range(m):
-            t = C[i]
-            for k in range(i):
-                t = t - L[i][k] * W[k]
-            W[i] = t * inv_diag[i]
-        # y = L⁻¹·ν (forward substitution): m2 = |y|², and K·ν = W·y
-        y = [None] * m
-        for i in range(m):
-            t = nu[i : i + 1, :]
-            for k in range(i):
-                t = t - L[i][k] * y[k]
-            y[i] = t * inv_diag[i]
-        m2 = sum(y[i] * y[i] for i in range(m))  # (1, B)
-        # Gate via SELECTS, not arithmetic masking: a numerically non-SPD S
-        # (NaN through sqrt) must leave rejected instances untouched, exactly
-        # like the generic jnp.where path — NaN·0 is NaN, so multiplication
-        # would corrupt the prior.
-        acc_b = jnp.logical_or(m2 <= thr, thr < 0.0)  # (1, B) bool
-        m2_ref[:] = m2
-        acc_ref[:] = acc_b.astype(nu.dtype)
-
-        # state correction: corr = K·ν = Σ W[i]·y[i] (53, B), gated boxplus
-        corr = sum(W[i] * y[i] for i in range(m))
-        mu = mu_ref[:]
-        muo_ref[0:3] = jnp.where(acc_b, mu[0:3] + corr[0:3], mu[0:3])
-        muo_ref[7:54] = jnp.where(acc_b, mu[7:54] + corr[6:53], mu[7:54])
-        ew, ex, ey, ez = _qexp(corr[3:4][None], corr[4:5][None], corr[5:6][None])
-        qw, qx, qy, qz = _qnorm4(
-            *_qmul(mu[3:4][None], mu[4:5][None], mu[5:6][None], mu[6:7][None], ew, ex, ey, ez)
+        _update_tail(
+            m, d_ref, dzc, nu_ref[:], r_ref[:], mu_ref[:], scal_ref[0, 0],
+            cov_ref, covo_ref, muo_ref, m2_ref, acc_ref,
         )
-        muo_ref[3:4] = jnp.where(acc_b, qw[0], mu[3:4])
-        muo_ref[4:5] = jnp.where(acc_b, qx[0], mu[4:5])
-        muo_ref[5:6] = jnp.where(acc_b, qy[0], mu[5:6])
-        muo_ref[6:7] = jnp.where(acc_b, qz[0], mu[6:7])
-
-        # covariance downdate: cov − Σᵢ Wᵢ⊗Wᵢ (exactly symmetric), gated
-        T = None
-        for i in range(m):
-            o = W[i][:, None, :] * W[i][None, :, :]  # (53, 53, B)
-            T = o if T is None else T + o
-        cov_prior = cov_ref[:]
-        covo_ref[:] = jnp.where(acc_b[None], cov_prior - T, cov_prior)
 
     return kernel
+
+
+def _update_tail(m, d_ref, dzc, nu, r, mu, thr, cov_ref, covo_ref, muo_ref, m2_ref, acc_ref):
+    """Shared linear-algebra tail of the fused updates: S/C/gain, Mahalanobis
+    gate, gated manifold state correction and the exactly-symmetric
+    covariance downdate. ``dzc`` is a list of m (107, B) measurement-space
+    deviation components; ``nu`` (m, B), ``r`` (m, m, B) and ``mu`` (54, B)
+    are values; ``d_ref`` holds the (107, 53, B) tangent deltas (input ref or
+    VMEM scratch)."""
+    # S = ½ΣdZdZᵀ + R (m small — all entries as (1, B) lane vectors)
+    S = [[None] * m for _ in range(m)]
+    for a in range(m):
+        for b2 in range(a + 1):
+            v = 0.5 * jnp.sum(dzc[a] * dzc[b2], axis=0, keepdims=True) + r[
+                a, b2 : b2 + 1, :
+            ]
+            S[a][b2] = v
+            S[b2][a] = v
+    # unrolled lane-wise Cholesky of S (ops/linalg_small.py pattern)
+    L = [[None] * m for _ in range(m)]
+    for j in range(m):
+        s = S[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        dgj = jnp.sqrt(s)
+        L[j][j] = dgj
+        inv_d = 1.0 / dgj
+        for i in range(j + 1, m):
+            t = S[i][j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * inv_d
+    inv_diag = [1.0 / L[i][i] for i in range(m)]
+
+    # cross-covariance C = ½ΣδdZᵀ, sigma-chunked to bound VMEM temps
+    C = []
+    for a in range(m):
+        acc = None
+        for lo, hi in ((0, 54), (54, NSIG)):
+            part = jnp.sum(d_ref[lo:hi] * dzc[a][lo:hi][:, None, :], axis=0)
+            acc = part if acc is None else acc + part
+        C.append(0.5 * acc)  # (53, B)
+
+    # W = K·L  solves K·S·Kᵀ = W·Wᵀ without forming S⁻¹:
+    # K = C·S⁻¹ = C·L⁻ᵀ·L⁻¹ ⇒ W = K·L = C·L⁻ᵀ, i.e. L·Wᵀ = Cᵀ —
+    # forward substitution (ascending; the descending variant computes
+    # C·L⁻¹, which agrees only when S is (near-)diagonal)
+    W = [None] * m
+    for i in range(m):
+        t = C[i]
+        for k in range(i):
+            t = t - L[i][k] * W[k]
+        W[i] = t * inv_diag[i]
+    # y = L⁻¹·ν (forward substitution): m2 = |y|², and K·ν = W·y
+    y = [None] * m
+    for i in range(m):
+        t = nu[i : i + 1, :]
+        for k in range(i):
+            t = t - L[i][k] * y[k]
+        y[i] = t * inv_diag[i]
+    m2 = sum(y[i] * y[i] for i in range(m))  # (1, B)
+    # Gate via SELECTS, not arithmetic masking: a numerically non-SPD S
+    # (NaN through sqrt) must leave rejected instances untouched, exactly
+    # like the generic jnp.where path — NaN·0 is NaN, so multiplication
+    # would corrupt the prior.
+    acc_b = jnp.logical_or(m2 <= thr, thr < 0.0)  # (1, B) bool
+    m2_ref[:] = m2
+    acc_ref[:] = acc_b.astype(nu.dtype)
+
+    # state correction: corr = K·ν = Σ W[i]·y[i] (53, B), gated boxplus
+    corr = sum(W[i] * y[i] for i in range(m))
+    muo_ref[0:3] = jnp.where(acc_b, mu[0:3] + corr[0:3], mu[0:3])
+    muo_ref[7:54] = jnp.where(acc_b, mu[7:54] + corr[6:53], mu[7:54])
+    ew, ex, ey, ez = _qexp(corr[3:4][None], corr[4:5][None], corr[5:6][None])
+    qw, qx, qy, qz = _qnorm4(
+        *_qmul(mu[3:4][None], mu[4:5][None], mu[5:6][None], mu[6:7][None], ew, ex, ey, ez)
+    )
+    muo_ref[3:4] = jnp.where(acc_b, qw[0], mu[3:4])
+    muo_ref[4:5] = jnp.where(acc_b, qx[0], mu[4:5])
+    muo_ref[5:6] = jnp.where(acc_b, qy[0], mu[5:6])
+    muo_ref[6:7] = jnp.where(acc_b, qz[0], mu[6:7])
+
+    # covariance downdate: cov − Σᵢ Wᵢ⊗Wᵢ (exactly symmetric), gated
+    T = None
+    for i in range(m):
+        o = W[i][:, None, :] * W[i][None, :, :]  # (53, 53, B)
+        T = o if T is None else T + o
+    cov_prior = cov_ref[:]
+    covo_ref[:] = jnp.where(acc_b[None], cov_prior - T, cov_prior)
+
 
 
 def _pose_update_lanes(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr, *, interpret):
@@ -181,6 +196,201 @@ def _pose_update_lanes(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr, *, interpret
         out_specs=(lane_spec(n, n), lane_spec(STORAGE_DIM), lane_spec(1), lane_spec(1)),
         interpret=interpret,
     )(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr)
+
+
+def _make_update_velocity_kernel():
+    """Whole-update DVL kernel: sigma deltas (shared equilibrated Cholesky
+    core), the velocity measurement model h = R(q)⁻¹·v evaluated IN-KERNEL on
+    the sigma points, and the shared update tail — one launch, so the
+    (107, 53, B) delta tensor never round-trips HBM (~1.5 GB/step saved at a
+    32k bank vs the generic deltas-kernel → XLA-h → update-kernel pipeline).
+
+    The measurement uses only the orientation (tangent rows 3:6) and velocity
+    (rows 6:9) components, with every other field pinned to the mean —
+    identical semantics to the generic path's deps=("orientation",
+    "velocity") stage (``_measurement_stage``)."""
+    from ..ops.kernels import equilibrated_sigma_columns
+
+    m = 3
+
+    def kernel(
+        z_ref,  # (3, B) measured velocity
+        r_ref,  # (3, 3, B) measurement covariance
+        mu_ref,  # (54, B) prior mean, storage layout
+        cov_ref,  # (53, 53, B) prior covariance
+        scal_ref,  # (1, 1) SMEM: χ² gate threshold (< 0 ⇒ accept any)
+        covo_ref,  # out: (53, 53, B)
+        muo_ref,  # out: (54, B)
+        m2_ref,  # out: (1, B)
+        acc_ref,  # out: (1, B)
+        nu_ref,  # out: (3, B) innovation
+        y_ref,  # scratch: (107, 53, B) sigma tangent deltas
+        c_ref,  # scratch: (53, 53, B) Schur complement
+    ):
+        n = TANGENT_DIM
+        b = cov_ref.shape[-1]
+        y_ref[0] = jnp.zeros((n, b), cov_ref.dtype)
+
+        def write_column(j, final):
+            y_ref[2 * j + 1] = final
+            y_ref[2 * j + 2] = -final
+
+        equilibrated_sigma_columns(cov_ref, c_ref, write_column)
+
+        mu = mu_ref[:]
+        # sigma-point orientation q_i = mu_q ⊗ Exp(δ[3:6]) and velocity
+        # v_i = mu_v + δ[6:9]; all (107, B) — sigma axis on sublanes
+        ew, ex, ey, ez = _qexp(y_ref[:, 3, :], y_ref[:, 4, :], y_ref[:, 5, :])
+        qw, qx, qy, qz = _qnorm4(
+            *_qmul(mu[3:4], mu[4:5], mu[5:6], mu[6:7], ew, ex, ey, ez)
+        )
+        vx = mu[7:8] + y_ref[:, 6, :]
+        vy = mu[8:9] + y_ref[:, 7, :]
+        vz = mu[9:10] + y_ref[:, 8, :]
+        # h = R(q)⁻¹·v (Rodrigues with conjugated vector part)
+        tx = 2.0 * (qz * vy - qy * vz)
+        ty = 2.0 * (qx * vz - qz * vx)
+        tz = 2.0 * (qy * vx - qx * vy)
+        Z = (
+            vx + qw * tx + (qz * ty - qy * tz),
+            vy + qw * ty + (qx * tz - qz * tx),
+            vz + qw * tz + (qy * tx - qx * ty),
+        )
+        inv_n = 1.0 / NSIG
+        zm = [jnp.sum(za, axis=0, keepdims=True) * inv_n for za in Z]
+        dzc = [za - zma for za, zma in zip(Z, zm)]
+        z_in = z_ref[:]
+        nu = jnp.concatenate([z_in[a : a + 1] - zm[a] for a in range(m)], axis=0)
+        nu_ref[:] = nu
+        _update_tail(
+            m, y_ref, dzc, nu, r_ref[:], mu, scal_ref[0, 0],
+            cov_ref, covo_ref, muo_ref, m2_ref, acc_ref,
+        )
+
+    return kernel
+
+
+def _pose_update_velocity_lanes(z_t, r_t, mu_t, cov_t, thr, *, interpret):
+    nb = cov_t.shape[-1]
+    n = TANGENT_DIM
+    m = 3
+    lane_spec = lambda *shape: pl.BlockSpec(
+        (*shape, LANE_TILE), lambda i: (*(0,) * len(shape), i), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _make_update_velocity_kernel(),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((STORAGE_DIM, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((1, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((1, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((m, nb), cov_t.dtype),
+        ),
+        grid=(nb // LANE_TILE,),
+        in_specs=[
+            lane_spec(m),
+            lane_spec(m, m),
+            lane_spec(STORAGE_DIM),
+            lane_spec(n, n),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            lane_spec(n, n),
+            lane_spec(STORAGE_DIM),
+            lane_spec(1),
+            lane_spec(1),
+            lane_spec(m),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NSIG, n, LANE_TILE), cov_t.dtype),
+            pltpu.VMEM((n, n, LANE_TILE), cov_t.dtype),
+        ],
+        interpret=interpret,
+    )(z_t, r_t, mu_t, cov_t, thr)
+
+
+def update_velocity_fused_banked(
+    bstate: "PoseUKFState",
+    params: "PoseUKFParams",
+    z: jax.Array,  # (B, 3)
+    meas_cov: jax.Array,  # (B, 3, 3) or (3, 3)
+    gate_threshold: float | None = None,
+    *,
+    interpret: bool = False,
+) -> tuple["PoseUKFState", ukf.UpdateInfo]:
+    """Public-bank-API entry of the fused-h DVL kernel (see
+    :func:`update_velocity_lanes`): pack → one launch → unpack."""
+    dtype = bstate.cov.dtype
+    nb = bstate.cov.shape[0]
+    m = 3
+    z = jnp.asarray(z, dtype)
+    meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
+
+    pad = (-nb) % LANE_TILE
+    cov = bstate.cov
+    mu_s = _pack_storage(bstate.mu)
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(TANGENT_DIM, dtype=dtype), (pad, TANGENT_DIM, TANGENT_DIM))
+        cov = jnp.concatenate([cov, eye], axis=0)
+        mu_s = jnp.concatenate([mu_s, jnp.tile(mu_s[:1], (pad, 1))], axis=0)
+        z = jnp.concatenate([z, jnp.zeros((pad, m), dtype)], axis=0)
+        meas_cov = jnp.concatenate(
+            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
+        )
+
+    thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)
+    covo_t, muo_t, m2, acc, nu_t = _pose_update_velocity_lanes(
+        z.T,
+        jnp.transpose(meas_cov, (1, 2, 0)),
+        mu_s.T,
+        jnp.transpose(cov, (2, 1, 0)),
+        thr,
+        interpret=interpret,
+    )
+    cov_out = jnp.transpose(covo_t, (2, 1, 0))[:nb]
+    mu_out = _unpack_storage(muo_t.T[:nb], bstate.mu)
+    info = ukf.UpdateInfo(
+        mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=nu_t.T[:nb]
+    )
+    return bstate._replace(mu=mu_out, cov=cov_out), info
+
+
+def update_velocity_lanes(
+    lstate,
+    params: "PoseUKFParams",
+    z: jax.Array,  # (B, 3)
+    meas_cov: jax.Array,  # (B, 3, 3) or (3, 3)
+    gate_threshold: float | None = None,
+    *,
+    interpret: bool = False,
+):
+    """DVL velocity update with the measurement model fused in-kernel
+    (``PoseUKF.cpp:117-123,476-482``) — the highest-rate sensor of the
+    steady-state loop gets the zero-HBM-round-trip path; all other sensors
+    use the generic :func:`update_lanes`. Returns ``(LanesBankState,
+    UpdateInfo)`` with bank-first info fields."""
+    del params  # velocity h needs no parameters; kept for a uniform call shape
+    dtype = lstate.cov_t.dtype
+    nb_pad = lstate.cov_t.shape[-1]
+    nb = z.shape[0]
+    pad = nb_pad - nb
+    m = 3
+    z = jnp.asarray(z, dtype)
+    meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
+    if pad:
+        z = jnp.concatenate([z, jnp.zeros((pad, m), dtype)], axis=0)
+        meas_cov = jnp.concatenate(
+            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
+        )
+    thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)
+    covo_t, muo_t, m2, acc, nu_t = _pose_update_velocity_lanes(
+        z.T, jnp.transpose(meas_cov, (1, 2, 0)), lstate.mu_t, lstate.cov_t, thr,
+        interpret=interpret,
+    )
+    info = ukf.UpdateInfo(
+        mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=nu_t.T[:nb]
+    )
+    return lstate._replace(cov_t=covo_t, mu_t=muo_t), info
 
 
 def _measurement_stage(deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h):

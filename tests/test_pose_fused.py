@@ -380,3 +380,47 @@ def test_fused_predict_odd_bank_sizes():
         np.testing.assert_allclose(
             np.asarray(out.mu.velocity), np.asarray(ref.mu.velocity), atol=1e-6
         )
+
+
+def test_update_velocity_fused_h_matches_generic():
+    """The whole-update DVL kernel (measurement model fused in-kernel,
+    update_velocity_lanes / update_velocity_fused_banked) matches the generic
+    deltas → XLA-h → tail pipeline to f32 roundoff, including χ² gating."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    bstate, params = _make_bank(3)
+    # de-trivialize: distinct rotations/velocities per instance
+    rv = jnp.asarray(RNG.normal(scale=0.4, size=(3, 3)), jnp.float32)
+    q = jax.vmap(mf.quat_exp)(rv)
+    vel = jnp.asarray(RNG.normal(scale=1.0, size=(3, 3)), jnp.float32)
+    bstate = bstate._replace(mu=bstate.mu._replace(orientation=q, velocity=vel))
+    z = jnp.asarray(RNG.normal(scale=0.5, size=(3, 3)), jnp.float32)
+    r = jnp.eye(3, dtype=jnp.float32) * 1e-3
+    h = lambda s: mf.quat_rotate_inv(s.orientation, s.velocity)
+    deps = ("orientation", "velocity")
+
+    ls = pose_fused.to_lanes(bstate)
+    ls = pose_fused.predict_lanes(ls, params, 0.05, interpret=True)
+    for gate in (None, 5.991):
+        g, gi = puf.update_lanes(ls, params, z, r, h, deps, gate, interpret=True)
+        f, fi = puf.update_velocity_lanes(ls, params, z, r, gate, interpret=True)
+        go, fo = pose_fused.from_lanes(g, bstate), pose_fused.from_lanes(f, bstate)
+        np.testing.assert_allclose(np.asarray(fo.cov), np.asarray(go.cov), atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(fo.mu.velocity), np.asarray(go.mu.velocity), atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(fi.mahalanobis2), np.asarray(gi.mahalanobis2), rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(fi.innovation), np.asarray(gi.innovation), atol=2e-6
+        )
+        np.testing.assert_array_equal(np.asarray(fi.accepted), np.asarray(gi.accepted))
+
+    # public bank entry agrees with the lanes entry bit-for-bit
+    pre = pose_fused.from_lanes(ls, bstate)
+    pre = pre._replace(cov=0.5 * (pre.cov + jnp.swapaxes(pre.cov, -1, -2)))
+    fb, _ = puf.update_velocity_fused_banked(pre, params, z, r, None, interpret=True)
+    fl, _ = puf.update_velocity_lanes(pose_fused.to_lanes(pre), params, z, r, None, interpret=True)
+    flo = pose_fused.from_lanes(fl, pre)
+    np.testing.assert_allclose(np.asarray(fb.mu.velocity), np.asarray(flo.mu.velocity), atol=0)
