@@ -145,9 +145,13 @@ def _build_pose_step(dtype):
     from slam_uwv_kalman_filters_tpu.ops import manifolds as mf
 
     def lanes_step(ls, z, r):
-        ls = pf.predict_lanes(ls, params, 0.01)
         # DVL measurement model fused in-kernel: the sigma-delta tensor never
-        # round-trips HBM (models/pose_update_fused.update_velocity_lanes)
+        # round-trips HBM (models/pose_update_fused.update_velocity_lanes).
+        # The single-launch whole step (puf.step_velocity_lanes) measures
+        # ~1% SLOWER at this bank size — its ~23 MB VMEM working set cuts
+        # into pipelining headroom — but halves launch count for
+        # latency-sensitive small-bank online loops.
+        ls = pf.predict_lanes(ls, params, 0.01)
         ls, _ = puf.update_velocity_lanes(ls, params, z, r, None)
         return ls
 

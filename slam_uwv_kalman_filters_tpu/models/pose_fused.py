@@ -646,14 +646,12 @@ def from_lanes(lstate: LanesBankState, like: "PoseUKFState") -> "PoseUKFState":
     return like._replace(mu=mu, cov=cov, rotation_rate=lstate.rr_t.T[:nb])
 
 
-def predict_lanes(
-    lstate: LanesBankState, params: "PoseUKFParams", dt, *, interpret: bool = False
-) -> LanesBankState:
-    """Fused prediction directly on kernel-layout state — zero layout
-    conversions (the transposes of :func:`predict_fused_banked` vanish)."""
+def _predict_operands_shared(params: "PoseUKFParams", dt, dtype):
+    """(coeff, offs, q0m, scal) kernel operands of the shared-parameter
+    predict — used by :func:`predict_lanes` and the whole-step fused kernel
+    (``pose_update_fused.step_velocity_lanes``)."""
     from . import pose_ukf as pukf
 
-    dtype = lstate.cov_t.dtype
     dt = jnp.asarray(dt, dtype)
     coeff, offs = _decay_vectors(params, dt, dtype)
     q0 = params.process_noise.astype(dtype)
@@ -670,6 +668,16 @@ def predict_lanes(
             (dt**2 * q0[so, so]).reshape(9),
         ]
     )[:, None]
+    return coeff, offs, q0m, scal
+
+
+def predict_lanes(
+    lstate: LanesBankState, params: "PoseUKFParams", dt, *, interpret: bool = False
+) -> LanesBankState:
+    """Fused prediction directly on kernel-layout state — zero layout
+    conversions (the transposes of :func:`predict_fused_banked` vanish)."""
+    dtype = lstate.cov_t.dtype
+    coeff, offs, q0m, scal = _predict_operands_shared(params, dt, dtype)
     cov_t2, mu_t2 = _pose_predict_lanes(
         lstate.cov_t, lstate.mu_t, lstate.rr_t, coeff, offs, q0m, scal, interpret=interpret
     )

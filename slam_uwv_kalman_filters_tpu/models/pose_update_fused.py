@@ -50,6 +50,7 @@ __all__ = [
     "update_lanes",
     "update_velocity_lanes",
     "update_velocity_fused_banked",
+    "step_velocity_lanes",
 ]
 
 
@@ -111,11 +112,16 @@ def _update_tail(m, d_ref, dzc, nu, r, mu, thr, cov_ref, covo_ref, muo_ref, m2_r
     inv_diag = [1.0 / L[i][i] for i in range(m)]
 
     # cross-covariance C = ½ΣδdZᵀ, sigma-chunked to bound VMEM temps
+    # (the explicit 0:TANGENT_DIM column slice lets d_ref be the 54-wide
+    # predict scratch in the whole-step kernel; it is a no-op for the
+    # 53-wide delta inputs of the standalone update kernels)
     C = []
     for a in range(m):
         acc = None
         for lo, hi in ((0, 54), (54, NSIG)):
-            part = jnp.sum(d_ref[lo:hi] * dzc[a][lo:hi][:, None, :], axis=0)
+            part = jnp.sum(
+                d_ref[lo:hi, 0:TANGENT_DIM] * dzc[a][lo:hi][:, None, :], axis=0
+            )
             acc = part if acc is None else acc + part
         C.append(0.5 * acc)  # (53, B)
 
@@ -238,27 +244,7 @@ def _make_update_velocity_kernel():
         equilibrated_sigma_columns(cov_ref, c_ref, write_column)
 
         mu = mu_ref[:]
-        # sigma-point orientation q_i = mu_q ⊗ Exp(δ[3:6]) and velocity
-        # v_i = mu_v + δ[6:9]; all (107, B) — sigma axis on sublanes
-        ew, ex, ey, ez = _qexp(y_ref[:, 3, :], y_ref[:, 4, :], y_ref[:, 5, :])
-        qw, qx, qy, qz = _qnorm4(
-            *_qmul(mu[3:4], mu[4:5], mu[5:6], mu[6:7], ew, ex, ey, ez)
-        )
-        vx = mu[7:8] + y_ref[:, 6, :]
-        vy = mu[8:9] + y_ref[:, 7, :]
-        vz = mu[9:10] + y_ref[:, 8, :]
-        # h = R(q)⁻¹·v (Rodrigues with conjugated vector part)
-        tx = 2.0 * (qz * vy - qy * vz)
-        ty = 2.0 * (qx * vz - qz * vx)
-        tz = 2.0 * (qy * vx - qx * vy)
-        Z = (
-            vx + qw * tx + (qz * ty - qy * tz),
-            vy + qw * ty + (qx * tz - qz * tx),
-            vz + qw * tz + (qy * tx - qx * ty),
-        )
-        inv_n = 1.0 / NSIG
-        zm = [jnp.sum(za, axis=0, keepdims=True) * inv_n for za in Z]
-        dzc = [za - zma for za, zma in zip(Z, zm)]
+        dzc, zm = _velocity_measurement(mu, y_ref)
         z_in = z_ref[:]
         nu = jnp.concatenate([z_in[a : a + 1] - zm[a] for a in range(m)], axis=0)
         nu_ref[:] = nu
@@ -268,6 +254,30 @@ def _make_update_velocity_kernel():
         )
 
     return kernel
+
+
+def _velocity_measurement(mu, y_ref):
+    """In-kernel DVL model on the sigma points in ``y_ref``: orientation
+    q_i = mu_q ⊗ Exp(δ[3:6]), velocity v_i = mu_v + δ[6:9], h = R(q)⁻¹·v
+    (Rodrigues with conjugated vector part); all (107, B) — sigma axis on
+    sublanes. Returns (dzc components, per-component means)."""
+    ew, ex, ey, ez = _qexp(y_ref[:, 3, :], y_ref[:, 4, :], y_ref[:, 5, :])
+    qw, qx, qy, qz = _qnorm4(*_qmul(mu[3:4], mu[4:5], mu[5:6], mu[6:7], ew, ex, ey, ez))
+    vx = mu[7:8] + y_ref[:, 6, :]
+    vy = mu[8:9] + y_ref[:, 7, :]
+    vz = mu[9:10] + y_ref[:, 8, :]
+    tx = 2.0 * (qz * vy - qy * vz)
+    ty = 2.0 * (qx * vz - qz * vx)
+    tz = 2.0 * (qy * vx - qx * vy)
+    Z = (
+        vx + qw * tx + (qz * ty - qy * tz),
+        vy + qw * ty + (qx * tz - qz * tx),
+        vz + qw * tz + (qy * tx - qx * ty),
+    )
+    inv_n = 1.0 / NSIG
+    zm = [jnp.sum(za, axis=0, keepdims=True) * inv_n for za in Z]
+    dzc = [za - zma for za, zma in zip(Z, zm)]
+    return dzc, zm
 
 
 def _pose_update_velocity_lanes(z_t, r_t, mu_t, cov_t, thr, *, interpret):
@@ -307,6 +317,160 @@ def _pose_update_velocity_lanes(z_t, r_t, mu_t, cov_t, thr, *, interpret):
         ],
         interpret=interpret,
     )(z_t, r_t, mu_t, cov_t, thr)
+
+
+def _make_step_velocity_kernel():
+    """Whole filter step in ONE launch: predict (full process model) into
+    VMEM scratch, then the DVL update (fresh sigma deltas from the predicted
+    covariance + in-kernel h + shared tail). The predicted covariance never
+    reaches HBM — vs the two-launch chain this saves a full write + read of
+    the (53, 53, B) covariance per step (~0.75 GB at a 32k bank)."""
+    from ..ops.kernels import equilibrated_sigma_columns
+    from .pose_fused import _pose_predict_body
+
+    m = 3
+
+    def kernel(
+        a_ref,  # (53, 53, B) prior covariance
+        mu_ref,  # (54, B) prior mean, storage layout
+        rr_ref,  # (3, B) cached rotation-rate input
+        coeff_ref,  # (54, 1) Markov coefficients
+        offs_ref,  # (54, 1) Markov rest points
+        q0m_ref,  # (53, 53, 1) dt²-scaled Q (orientation block zeroed)
+        scal_ref,  # (14, 1) SMEM predict scalars
+        z_ref,  # (3, B) measured velocity
+        r_ref,  # (3, 3, B) measurement covariance
+        thr_ref,  # (1, 1) SMEM gate threshold
+        covo_ref,  # out: (53, 53, B) posterior covariance
+        muo_ref,  # out: (54, B) posterior mean
+        m2_ref,  # out: (1, B)
+        acc_ref,  # out: (1, B)
+        nu_ref,  # out: (3, B)
+        y_ref,  # scratch: (107, 54, B) predict working set / update deltas
+        c_ref,  # scratch: (53, 53, B) Schur complement
+        covp_ref,  # scratch: (53, 53, B) predicted covariance (never leaves VMEM)
+        mup_ref,  # scratch: (54, B) predicted mean
+    ):
+        n = TANGENT_DIM
+        b = a_ref.shape[-1]
+        _pose_predict_body(
+            False, a_ref, mu_ref, rr_ref, coeff_ref, offs_ref, q0m_ref,
+            scal_ref, covp_ref, mup_ref, y_ref, c_ref,
+        )
+        # fresh sigma deltas from the predicted covariance (ukfom convention)
+        y_ref[0, 0:n] = jnp.zeros((n, b), a_ref.dtype)
+
+        def write_column(j, final):
+            y_ref[2 * j + 1, 0:n] = final
+            y_ref[2 * j + 2, 0:n] = -final
+
+        equilibrated_sigma_columns(covp_ref, c_ref, write_column)
+        mu = mup_ref[:]
+        dzc, zm = _velocity_measurement(mu, y_ref)
+        z_in = z_ref[:]
+        nu = jnp.concatenate([z_in[a : a + 1] - zm[a] for a in range(m)], axis=0)
+        nu_ref[:] = nu
+        _update_tail(
+            m, y_ref, dzc, nu, r_ref[:], mu, thr_ref[0, 0],
+            covp_ref, covo_ref, muo_ref, m2_ref, acc_ref,
+        )
+
+    return kernel
+
+
+def _pose_step_velocity_lanes(
+    cov_t, mu_t, rr_t, coeff, offs, q0m, scal, z_t, r_t, thr, *, interpret
+):
+    nb = cov_t.shape[-1]
+    n = TANGENT_DIM
+    m = 3
+    lane_spec = lambda *shape: pl.BlockSpec(
+        (*shape, LANE_TILE), lambda i: (*(0,) * len(shape), i), memory_space=pltpu.VMEM
+    )
+    full_spec = lambda *shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _make_step_velocity_kernel(),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, n, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((STORAGE_DIM, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((1, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((1, nb), cov_t.dtype),
+            jax.ShapeDtypeStruct((m, nb), cov_t.dtype),
+        ),
+        grid=(nb // LANE_TILE,),
+        in_specs=[
+            lane_spec(n, n),
+            lane_spec(STORAGE_DIM),
+            lane_spec(3),
+            full_spec(STORAGE_DIM, 1),
+            full_spec(STORAGE_DIM, 1),
+            full_spec(n, n, 1),
+            pl.BlockSpec((14, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            lane_spec(m),
+            lane_spec(m, m),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            lane_spec(n, n),
+            lane_spec(STORAGE_DIM),
+            lane_spec(1),
+            lane_spec(1),
+            lane_spec(m),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NSIG, STORAGE_DIM, LANE_TILE), cov_t.dtype),
+            pltpu.VMEM((n, n, LANE_TILE), cov_t.dtype),
+            pltpu.VMEM((n, n, LANE_TILE), cov_t.dtype),
+            pltpu.VMEM((STORAGE_DIM, LANE_TILE), cov_t.dtype),
+        ],
+        # the combined working set (predict scratch + second factorization +
+        # double-buffered I/O) is ~23 MB — over the 16 MB default scoped-vmem
+        # budget but well inside the physical VMEM; raise the cap
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, z_t, r_t, thr)
+
+
+def step_velocity_lanes(
+    lstate,
+    params: "PoseUKFParams",
+    dt,
+    z: jax.Array,  # (B, 3)
+    meas_cov: jax.Array,  # (B, 3, 3) or (3, 3)
+    gate_threshold: float | None = None,
+    *,
+    interpret: bool = False,
+):
+    """One whole filter step — predict(dt) + DVL velocity update — in a
+    single kernel launch on kernel-layout state (shared parameter set).
+    The steady-state production loop at its shortest: the predicted
+    covariance lives only in VMEM. Returns ``(LanesBankState, UpdateInfo)``."""
+    from .pose_fused import _predict_operands_shared
+
+    dtype = lstate.cov_t.dtype
+    nb_pad = lstate.cov_t.shape[-1]
+    nb = z.shape[0]
+    pad = nb_pad - nb
+    m = 3
+    coeff, offs, q0m, scal = _predict_operands_shared(params, dt, dtype)
+    z = jnp.asarray(z, dtype)
+    meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
+    if pad:
+        z = jnp.concatenate([z, jnp.zeros((pad, m), dtype)], axis=0)
+        meas_cov = jnp.concatenate(
+            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
+        )
+    thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)
+    covo_t, muo_t, m2, acc, nu_t = _pose_step_velocity_lanes(
+        lstate.cov_t, lstate.mu_t, lstate.rr_t, coeff, offs, q0m, scal,
+        z.T, jnp.transpose(meas_cov, (1, 2, 0)), thr, interpret=interpret,
+    )
+    info = ukf.UpdateInfo(
+        mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=nu_t.T[:nb]
+    )
+    return lstate._replace(cov_t=covo_t, mu_t=muo_t), info
 
 
 def update_velocity_fused_banked(

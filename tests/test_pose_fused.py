@@ -424,3 +424,32 @@ def test_update_velocity_fused_h_matches_generic():
     fl, _ = puf.update_velocity_lanes(pose_fused.to_lanes(pre), params, z, r, None, interpret=True)
     flo = pose_fused.from_lanes(fl, pre)
     np.testing.assert_allclose(np.asarray(fb.mu.velocity), np.asarray(flo.mu.velocity), atol=0)
+
+
+def test_step_velocity_lanes_matches_two_launch_chain():
+    """The single-launch whole step (predict + DVL update,
+    step_velocity_lanes) is bit-identical to predict_lanes followed by
+    update_velocity_lanes — same kernels composed in one launch."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    bstate, params = _make_bank(2)
+    rv = jnp.asarray(RNG.normal(scale=0.3, size=(2, 3)), jnp.float32)
+    bstate = bstate._replace(
+        mu=bstate.mu._replace(
+            orientation=jax.vmap(mf.quat_exp)(rv),
+            velocity=jnp.asarray(RNG.normal(size=(2, 3)), jnp.float32),
+        )
+    )
+    z = jnp.asarray(RNG.normal(scale=0.5, size=(2, 3)), jnp.float32)
+    r = jnp.eye(3, dtype=jnp.float32) * 1e-3
+
+    ls0 = pose_fused.to_lanes(bstate)
+    a = pose_fused.predict_lanes(ls0, params, 0.05, interpret=True)
+    a, ai = puf.update_velocity_lanes(a, params, z, r, None, interpret=True)
+    b, bi = puf.step_velocity_lanes(ls0, params, 0.05, z, r, None, interpret=True)
+    ao, bo = pose_fused.from_lanes(a, bstate), pose_fused.from_lanes(b, bstate)
+    np.testing.assert_array_equal(np.asarray(bo.cov), np.asarray(ao.cov))
+    np.testing.assert_array_equal(np.asarray(bo.mu.velocity), np.asarray(ao.mu.velocity))
+    np.testing.assert_array_equal(
+        np.asarray(bi.mahalanobis2), np.asarray(ai.mahalanobis2)
+    )
