@@ -80,7 +80,10 @@ def main(candidates=8, seconds=20.0, rate=25.0, seed=0):
 
     def tick(bs, z):
         bs = pukf.predict_bank(bs, params_bank, dt)
-        bs, info = jax.vmap(lambda s, p: pukf.update_velocity(s, p, z, r_dvl))(bs, params_bank)
+        # the DVL model reads no parameters, so the bank API serves the
+        # parameter sweep too (fused in-kernel measurement on TPU)
+        zb = jnp.broadcast_to(z, (candidates, 3))
+        bs, info = pukf.update_velocity_bank(bs, params_bank, zb, r_dvl)
         return bs, info.mahalanobis2
 
     sweep = jax.jit(lambda bs: jax.lax.scan(tick, bs, dvl)[1].mean(axis=0))

@@ -549,12 +549,15 @@ def update_bank(
     gate_threshold=None,
     *,
     use_fused: str | bool = "auto",
+    params_independent: bool = False,
 ) -> tuple[PoseUKFState, "ukf.UpdateInfo"]:
     """Bank-level unscented update with a vector measurement model ``h``
     (``deps`` = the PoseState fields ``h`` reads). Fused Pallas tail on the
     TPU f32 shared-params path (``models.pose_update_fused``); generic
-    ``vmap(ukf.update)`` otherwise."""
-    if params.process_noise.ndim == 3:
+    ``vmap(ukf.update)`` otherwise. ``params_independent=True`` declares that
+    ``h`` reads no parameters, which makes the update valid for banked
+    (Monte-Carlo sweep) parameter sets too."""
+    if params.process_noise.ndim == 3 and not params_independent:
         # ``h`` is already closed over the (banked) params, so neither the
         # fused tail nor a state-only vmap can evaluate it per instance —
         # sweep measurement updates via the per-instance functions instead.
@@ -597,10 +600,12 @@ def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
             and bstate.cov.ndim == 3
             and jax.default_backend() == "tpu"
         )
-    if use_fused and params.process_noise.ndim != 3:
+    if use_fused:
         # DVL is the highest-rate sensor: route to the whole-update kernel
         # with the measurement model fused in-kernel (no sigma-delta HBM
-        # round trip) instead of the generic deltas → XLA-h → tail pipeline
+        # round trip) instead of the generic deltas → XLA-h → tail pipeline.
+        # h reads no parameters, so this also serves banked (Monte-Carlo
+        # sweep) parameter sets.
         from . import pose_update_fused
 
         return pose_update_fused.update_velocity_fused_banked(bstate, params, z, meas_cov)
@@ -612,6 +617,7 @@ def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
         lambda s: mf.quat_rotate_inv(s.orientation, s.velocity),
         ("orientation", "velocity"),
         use_fused=use_fused,
+        params_independent=True,
     )
 
 

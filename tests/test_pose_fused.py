@@ -453,3 +453,37 @@ def test_step_velocity_lanes_matches_two_launch_chain():
     np.testing.assert_array_equal(
         np.asarray(bi.mahalanobis2), np.asarray(ai.mahalanobis2)
     )
+
+
+def test_update_velocity_bank_accepts_banked_params():
+    """The DVL measurement model reads no parameters, so update_velocity_bank
+    serves Monte-Carlo parameter banks too (both the fused in-kernel route
+    and the generic params_independent fallback) — matching per-instance
+    vmap(update_velocity)."""
+    bstate, params = _make_bank(3)
+    scales = jnp.asarray([0.5, 1.0, 2.0], jnp.float32)
+    params_bank = jax.vmap(
+        lambda s: params._replace(process_noise=params.process_noise * s)
+    )(scales)
+    z = jnp.asarray(RNG.normal(scale=0.3, size=(3, 3)), jnp.float32)
+    r = jnp.tile((jnp.eye(3, dtype=jnp.float32) * 1e-3)[None], (3, 1, 1))
+
+    ref = jax.vmap(lambda st, pr, zz, rr: pukf.update_velocity(st, pr, zz, rr))(
+        bstate, params_bank, z, r
+    )[0]
+    # generic route (CPU): no longer raises for params-independent h
+    out, _ = pukf.update_velocity_bank(bstate, params_bank, z, r, use_fused=False)
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.mu.velocity), np.asarray(ref.mu.velocity), atol=1e-6
+    )
+    # fused in-kernel route (interpret): same result
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    out2, _ = puf.update_velocity_fused_banked(bstate, params_bank, z, r, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2.cov), np.asarray(ref.cov), atol=2e-6)
+    # parameter-DEPENDENT models still reject banked params
+    import pytest
+
+    with pytest.raises(ValueError):
+        pukf.update_pressure_bank(bstate, params_bank, jnp.zeros((3, 1)), jnp.ones((3, 1, 1)))
