@@ -15,9 +15,11 @@ which is what the reference's ukfom/MTK stack compiles to. ``vs_baseline`` is
 the speedup of the batched TPU path over that single-instance CPU rate (the
 north-star target is ≥100×).
 
-Environment knobs: BENCH_BANK (default 32768 — measured flat from 32k up to
-196k instances, ~1.6% below peak at 8k), BENCH_ITERS (default 30),
-BENCH_DTYPE (float32 on TPU — f64 does not compile on this backend).
+Environment knobs: BENCH_BANK (default 32768; throughput keeps creeping up
+with bank size — ~2.8M steps/s at 32k, ~2.9M at 131k — but the larger
+shapes' compile times are too variable for an unattended timed run),
+BENCH_ITERS (default 30), BENCH_DTYPE (float32 on TPU — f64 does not
+compile on this backend).
 """
 
 from __future__ import annotations
