@@ -75,7 +75,7 @@ def main(argv=None):
         pose_ukf as pukf,
         pose_update_fused as puf,
     )
-    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn, manifolds as mf
+    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
     from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
     from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
 
@@ -104,13 +104,8 @@ def main(argv=None):
     print(f"backend={jax.default_backend()} bank={args.bank} "
           f"native_packer={runtime.native_available()}")
 
-    h_dvl = lambda s: mf.quat_rotate_inv(s.orientation, s.velocity)
     r_dvl = jnp.eye(3, dtype=dtype) * 1e-4
     r_press = jnp.eye(1, dtype=dtype) * 2500.0
-
-    def h_press(s):
-        pr = params.atmospheric_pressure - s.position[2] * s.gravity[0] * s.water_density[0]
-        return pr[None]
 
     # separately-dispatched jits (the online shape): lanes layout persists
     @jax.jit
@@ -120,14 +115,15 @@ def main(argv=None):
 
     @jax.jit
     def tick_dvl(ls, z):
-        out, _ = puf.update_lanes(ls, params, z, r_dvl, h_dvl, ("orientation", "velocity"))
+        # measurement model fused in-kernel — one launch, no delta round-trip
+        out, _ = puf.update_model_lanes("velocity", ls, z, r_dvl)
         return out
 
     @jax.jit
     def tick_press(ls, z):
-        out, _ = puf.update_lanes(
-            ls, params, z, r_press, h_press,
-            ("position", "orientation", "gravity", "water_density"),
+        out, _ = puf.update_model_lanes(
+            "pressure", ls, z, r_press,
+            aux=(params.atmospheric_pressure, 0.0, 0.0, 0.0),
         )
         return out
 

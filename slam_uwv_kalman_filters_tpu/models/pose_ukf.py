@@ -621,8 +621,28 @@ def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     )
 
 
+def _fused_model_route(use_fused, bstate, params, *, params_needed=False):
+    """Resolve the fused-route decision shared by the typed bank updates:
+    in-kernel measurement models engage on the TPU f32 bank path, and (when
+    the model reads parameters) only for a shared parameter set."""
+    if use_fused == "auto":
+        use_fused = (
+            bstate.cov.dtype == jnp.float32
+            and bstate.cov.ndim == 3
+            and jax.default_backend() == "tpu"
+        )
+    if params_needed and params.process_noise.ndim == 3:
+        return False, use_fused
+    return bool(use_fused), use_fused
+
+
 def update_acceleration_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     """Bank-level IMU specific-force update (``PoseUKF.cpp:125-131,484-490``)."""
+    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    if fused:
+        from . import pose_update_fused
+
+        return pose_update_fused.update_model_fused_banked("acceleration", bstate, z, meas_cov)
 
     def h(s: PoseState):
         dtype = s.gravity.dtype
@@ -632,23 +652,36 @@ def update_acceleration_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     return update_bank(
         bstate, params, z, meas_cov, h,
         ("orientation", "acceleration", "bias_acc", "gravity"), use_fused=use_fused,
+        params_independent=True,
     )
 
 
 def update_z_position_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     """Bank-level depth update (``PoseUKF.cpp:100-105,498-504``)."""
+    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    if fused:
+        from . import pose_update_fused
+
+        return pose_update_fused.update_model_fused_banked("z_position", bstate, z, meas_cov)
     return update_bank(
         bstate, params, z, meas_cov, lambda s: s.position[2:3], ("position",),
-        use_fused=use_fused,
+        use_fused=use_fused, params_independent=True,
     )
 
 
 def update_xy_position_bank(bstate, params, z, meas_cov, gate_threshold=None, *, use_fused="auto"):
     """Bank-level XY position update (``PoseUKF.cpp:87-92,506-512``);
     pass ``gate_threshold=ukf.D2P95`` for the GPS path (``:567-579``)."""
+    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    if fused:
+        from . import pose_update_fused
+
+        return pose_update_fused.update_model_fused_banked(
+            "xy_position", bstate, z, meas_cov, gate_threshold
+        )
     return update_bank(
         bstate, params, z, meas_cov, lambda s: s.position[:2], ("position",),
-        gate_threshold, use_fused=use_fused,
+        gate_threshold, use_fused=use_fused, params_independent=True,
     )
 
 
@@ -659,6 +692,15 @@ def update_pressure_bank(bstate, params, z, meas_cov, pressure_sensor_in_imu=Non
         if pressure_sensor_in_imu is None
         else jnp.asarray(pressure_sensor_in_imu, bstate.cov.dtype)
     )
+    # the pressure model reads params.atmospheric_pressure → shared-params only
+    fused, use_fused = _fused_model_route(use_fused, bstate, params, params_needed=True)
+    if fused:
+        from . import pose_update_fused
+
+        return pose_update_fused.update_model_fused_banked(
+            "pressure", bstate, z, meas_cov,
+            aux=(params.atmospheric_pressure, lever[0], lever[1], lever[2]),
+        )
 
     def h(s: PoseState):
         sensor_nav = s.position + mf.quat_rotate(s.orientation, lever)
@@ -674,6 +716,13 @@ def update_pressure_bank(bstate, params, z, meas_cov, pressure_sensor_in_imu=Non
 def update_water_velocity_bank(bstate, params, z, meas_cov, cell_weighting, *, use_fused="auto"):
     """Bank-level ADCP water-current update, χ²-95 gated
     (``PoseUKF.cpp:133-151,604-611``)."""
+    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    if fused:
+        from . import pose_update_fused
+
+        return pose_update_fused.update_model_fused_banked(
+            "water_velocity", bstate, z, meas_cov, ukf.D2P95, aux=(cell_weighting,)
+        )
 
     def h(s: PoseState):
         dtype = s.position.dtype
@@ -688,6 +737,7 @@ def update_water_velocity_bank(bstate, params, z, meas_cov, cell_weighting, *, u
         bstate, params, z, meas_cov, h,
         ("orientation", "velocity", "water_velocity", "water_velocity_below", "bias_adcp"),
         ukf.D2P95, use_fused=use_fused,
+        params_independent=True,
     )
 
 

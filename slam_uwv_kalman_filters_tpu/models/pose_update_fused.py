@@ -46,8 +46,11 @@ if TYPE_CHECKING:
     from .pose_ukf import PoseUKFParams, PoseUKFState
 
 __all__ = [
+    "FUSED_MODELS",
     "update_fused_banked",
     "update_lanes",
+    "update_model_fused_banked",
+    "update_model_lanes",
     "update_velocity_lanes",
     "update_velocity_fused_banked",
     "step_velocity_lanes",
@@ -204,32 +207,130 @@ def _pose_update_lanes(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr, *, interpret
     )(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr)
 
 
-def _make_update_velocity_kernel():
-    """Whole-update DVL kernel: sigma deltas (shared equilibrated Cholesky
-    core), the velocity measurement model h = R(q)⁻¹·v evaluated IN-KERNEL on
-    the sigma points, and the shared update tail — one launch, so the
-    (107, 53, B) delta tensor never round-trips HBM (~1.5 GB/step saved at a
-    32k bank vs the generic deltas-kernel → XLA-h → update-kernel pipeline).
+# ---------------------------------------------------------------------------
+# In-kernel measurement models. Each computes the sigma-point measurement
+# components (107, B) — sigma axis on sublanes — from the prior mean and the
+# tangent deltas in y_ref, with every field the model does not read pinned to
+# the mean (identical semantics to the generic ``_measurement_stage`` with
+# the matching deps). ``aux`` is a (5,) tuple of SMEM scalars for models with
+# static parameters. Tangent-row indices follow the storage table in
+# models/pose_fused.py.
+# ---------------------------------------------------------------------------
 
-    The measurement uses only the orientation (tangent rows 3:6) and velocity
-    (rows 6:9) components, with every other field pinned to the mean —
-    identical semantics to the generic path's deps=("orientation",
-    "velocity") stage (``_measurement_stage``)."""
+FUSED_MODELS = {
+    "velocity": 3,  # h = R(q)⁻¹·v                         (PoseUKF.cpp:117-123)
+    "z_position": 1,  # h = position.z                     (PoseUKF.cpp:100-105)
+    "xy_position": 2,  # h = position.xy                   (PoseUKF.cpp:87-92)
+    "acceleration": 3,  # h = R⁻¹(a + [0,0,g]) + b_acc     (PoseUKF.cpp:125-131)
+    "pressure": 1,  # h = p_atm − z_sensor·g·ρ             (PoseUKF.cpp:107-115)
+    "water_velocity": 2,  # ADCP cell-weighted blend       (PoseUKF.cpp:133-151)
+}
+
+
+def _sigma_quats(mu, y_ref):
+    """Per-sigma-point orientation q_i = mu_q ⊗ Exp(δ[3:6]); (107, B) comps."""
+    ew, ex, ey, ez = _qexp(y_ref[:, 3, :], y_ref[:, 4, :], y_ref[:, 5, :])
+    return _qnorm4(*_qmul(mu[3:4], mu[4:5], mu[5:6], mu[6:7], ew, ex, ey, ez))
+
+
+def _rot_inv(q, v):
+    """R(q)⁻¹·v, componentwise Rodrigues (conjugated vector part)."""
+    qw, qx, qy, qz = q
+    vx, vy, vz = v
+    tx = 2.0 * (qz * vy - qy * vz)
+    ty = 2.0 * (qx * vz - qz * vx)
+    tz = 2.0 * (qy * vx - qx * vy)
+    return (
+        vx + qw * tx + (qz * ty - qy * tz),
+        vy + qw * ty + (qx * tz - qz * tx),
+        vz + qw * tz + (qy * tx - qx * ty),
+    )
+
+
+def _rot_fwd(q, v):
+    """R(q)·v, componentwise Rodrigues."""
+    qw, qx, qy, qz = q
+    vx, vy, vz = v
+    tx = 2.0 * (qy * vz - qz * vy)
+    ty = 2.0 * (qz * vx - qx * vz)
+    tz = 2.0 * (qx * vy - qy * vx)
+    return (
+        vx + qw * tx + (qy * tz - qz * ty),
+        vy + qw * ty + (qz * tx - qx * tz),
+        vz + qw * tz + (qx * ty - qy * tx),
+    )
+
+
+def _model_measurement(model, mu, y_ref, aux):
+    """Measurement components Z (tuple of (107, B)) for ``model``."""
+    if model == "velocity":
+        q = _sigma_quats(mu, y_ref)
+        v = (mu[7:8] + y_ref[:, 6, :], mu[8:9] + y_ref[:, 7, :], mu[9:10] + y_ref[:, 8, :])
+        return _rot_inv(q, v)
+    if model == "z_position":
+        return (mu[2:3] + y_ref[:, 2, :],)
+    if model == "xy_position":
+        return (mu[0:1] + y_ref[:, 0, :], mu[1:2] + y_ref[:, 1, :])
+    if model == "acceleration":
+        q = _sigma_quats(mu, y_ref)
+        g = mu[19:20] + y_ref[:, 18, :]
+        a = (
+            mu[10:11] + y_ref[:, 9, :],
+            mu[11:12] + y_ref[:, 10, :],
+            mu[12:13] + y_ref[:, 11, :] + g,
+        )
+        rx, ry, rz = _rot_inv(q, a)
+        return (
+            rx + mu[16:17] + y_ref[:, 15, :],
+            ry + mu[17:18] + y_ref[:, 16, :],
+            rz + mu[18:19] + y_ref[:, 17, :],
+        )
+    if model == "pressure":
+        p_atm, lx, ly, lz = aux[0], aux[1], aux[2], aux[3]
+        q = _sigma_quats(mu, y_ref)
+        _, _, rlz = _rot_fwd(q, (lx, ly, lz))  # scalars broadcast to (107, B)
+        sensor_z = mu[2:3] + y_ref[:, 2, :] + rlz
+        g = mu[19:20] + y_ref[:, 18, :]
+        rho = mu[53:54] + y_ref[:, 52, :]
+        return (p_atm - sensor_z * g * rho,)
+    if model == "water_velocity":
+        cw = aux[0]
+        q = _sigma_quats(mu, y_ref)
+        v = (mu[7:8] + y_ref[:, 6, :], mu[8:9] + y_ref[:, 7, :], mu[9:10] + y_ref[:, 8, :])
+        wv = (mu[47:48] + y_ref[:, 46, :], mu[48:49] + y_ref[:, 47, :])
+        wvb = (mu[49:50] + y_ref[:, 48, :], mu[50:51] + y_ref[:, 49, :])
+        ax, ay, _ = _rot_inv(q, (v[0] - wv[0], v[1] - wv[1], v[2]))
+        bx, by, _ = _rot_inv(q, (v[0] - wvb[0], v[1] - wvb[1], v[2]))
+        blended_x = cw * bx + (1.0 - cw) * ax
+        blended_y = cw * by + (1.0 - cw) * ay
+        return (
+            blended_x + mu[51:52] + y_ref[:, 50, :],
+            blended_y + mu[52:53] + y_ref[:, 51, :],
+        )
+    raise ValueError(f"no in-kernel measurement model {model!r}")
+
+
+def _make_update_model_kernel(model: str):
+    """Whole-update kernel for one in-kernel measurement model: sigma deltas
+    (shared equilibrated Cholesky core), h evaluated IN-KERNEL on the sigma
+    points, and the shared update tail — one launch, so the (107, 53, B)
+    delta tensor never round-trips HBM (~1.5 GB/step saved at a 32k bank vs
+    the generic deltas-kernel → XLA-h → update-kernel pipeline)."""
     from ..ops.kernels import equilibrated_sigma_columns
 
-    m = 3
+    m = FUSED_MODELS[model]
 
     def kernel(
-        z_ref,  # (3, B) measured velocity
-        r_ref,  # (3, 3, B) measurement covariance
+        z_ref,  # (m, B) measurement
+        r_ref,  # (m, m, B) measurement covariance
         mu_ref,  # (54, B) prior mean, storage layout
         cov_ref,  # (53, 53, B) prior covariance
-        scal_ref,  # (1, 1) SMEM: χ² gate threshold (< 0 ⇒ accept any)
+        scal_ref,  # (6, 1) SMEM: [gate threshold (<0 ⇒ accept any), aux×5]
         covo_ref,  # out: (53, 53, B)
         muo_ref,  # out: (54, B)
         m2_ref,  # out: (1, B)
         acc_ref,  # out: (1, B)
-        nu_ref,  # out: (3, B) innovation
+        nu_ref,  # out: (m, B) innovation
         y_ref,  # scratch: (107, 53, B) sigma tangent deltas
         c_ref,  # scratch: (53, 53, B) Schur complement
     ):
@@ -244,7 +345,11 @@ def _make_update_velocity_kernel():
         equilibrated_sigma_columns(cov_ref, c_ref, write_column)
 
         mu = mu_ref[:]
-        dzc, zm = _velocity_measurement(mu, y_ref)
+        aux = tuple(scal_ref[1 + i, 0] for i in range(5))
+        Z = _model_measurement(model, mu, y_ref, aux)
+        inv_n = 1.0 / NSIG
+        zm = [jnp.sum(za, axis=0, keepdims=True) * inv_n for za in Z]
+        dzc = [za - zma for za, zma in zip(Z, zm)]
         z_in = z_ref[:]
         nu = jnp.concatenate([z_in[a : a + 1] - zm[a] for a in range(m)], axis=0)
         nu_ref[:] = nu
@@ -257,38 +362,25 @@ def _make_update_velocity_kernel():
 
 
 def _velocity_measurement(mu, y_ref):
-    """In-kernel DVL model on the sigma points in ``y_ref``: orientation
-    q_i = mu_q ⊗ Exp(δ[3:6]), velocity v_i = mu_v + δ[6:9], h = R(q)⁻¹·v
-    (Rodrigues with conjugated vector part); all (107, B) — sigma axis on
-    sublanes. Returns (dzc components, per-component means)."""
-    ew, ex, ey, ez = _qexp(y_ref[:, 3, :], y_ref[:, 4, :], y_ref[:, 5, :])
-    qw, qx, qy, qz = _qnorm4(*_qmul(mu[3:4], mu[4:5], mu[5:6], mu[6:7], ew, ex, ey, ez))
-    vx = mu[7:8] + y_ref[:, 6, :]
-    vy = mu[8:9] + y_ref[:, 7, :]
-    vz = mu[9:10] + y_ref[:, 8, :]
-    tx = 2.0 * (qz * vy - qy * vz)
-    ty = 2.0 * (qx * vz - qz * vx)
-    tz = 2.0 * (qy * vx - qx * vy)
-    Z = (
-        vx + qw * tx + (qz * ty - qy * tz),
-        vy + qw * ty + (qx * tz - qz * tx),
-        vz + qw * tz + (qy * tx - qx * ty),
-    )
+    """DVL components for the whole-step kernel (see _model_measurement)."""
+    Z = _model_measurement("velocity", mu, y_ref, (0.0,) * 5)
     inv_n = 1.0 / NSIG
     zm = [jnp.sum(za, axis=0, keepdims=True) * inv_n for za in Z]
     dzc = [za - zma for za, zma in zip(Z, zm)]
     return dzc, zm
 
 
-def _pose_update_velocity_lanes(z_t, r_t, mu_t, cov_t, thr, *, interpret):
+def _pose_update_model_lanes(model, z_t, r_t, mu_t, cov_t, scal, *, interpret):
+    """One-launch whole update for an in-kernel model; ``scal`` is the (6, 1)
+    SMEM block [gate threshold; aux scalars×5]."""
     nb = cov_t.shape[-1]
     n = TANGENT_DIM
-    m = 3
+    m = FUSED_MODELS[model]
     lane_spec = lambda *shape: pl.BlockSpec(
         (*shape, LANE_TILE), lambda i: (*(0,) * len(shape), i), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        _make_update_velocity_kernel(),
+        _make_update_model_kernel(model),
         out_shape=(
             jax.ShapeDtypeStruct((n, n, nb), cov_t.dtype),
             jax.ShapeDtypeStruct((STORAGE_DIM, nb), cov_t.dtype),
@@ -302,7 +394,7 @@ def _pose_update_velocity_lanes(z_t, r_t, mu_t, cov_t, thr, *, interpret):
             lane_spec(m, m),
             lane_spec(STORAGE_DIM),
             lane_spec(n, n),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             lane_spec(n, n),
@@ -316,7 +408,7 @@ def _pose_update_velocity_lanes(z_t, r_t, mu_t, cov_t, thr, *, interpret):
             pltpu.VMEM((n, n, LANE_TILE), cov_t.dtype),
         ],
         interpret=interpret,
-    )(z_t, r_t, mu_t, cov_t, thr)
+    )(z_t, r_t, mu_t, cov_t, scal)
 
 
 def _make_step_velocity_kernel():
@@ -473,20 +565,28 @@ def step_velocity_lanes(
     return lstate._replace(cov_t=covo_t, mu_t=muo_t), info
 
 
-def update_velocity_fused_banked(
+def _scal_block(gate_threshold, aux, dtype):
+    """(6, 1) SMEM operand: [gate threshold (<0 ⇒ accept any); aux×5]."""
+    vals = [-1.0 if gate_threshold is None else float(gate_threshold)]
+    vals += list(aux) + [0.0] * (5 - len(aux))
+    return jnp.asarray(vals, dtype)[:, None]
+
+
+def update_model_fused_banked(
+    model: str,
     bstate: "PoseUKFState",
-    params: "PoseUKFParams",
-    z: jax.Array,  # (B, 3)
-    meas_cov: jax.Array,  # (B, 3, 3) or (3, 3)
+    z: jax.Array,  # (B, m)
+    meas_cov: jax.Array,  # (B, m, m) or (m, m)
     gate_threshold: float | None = None,
+    aux: tuple = (),
     *,
     interpret: bool = False,
 ) -> tuple["PoseUKFState", ukf.UpdateInfo]:
-    """Public-bank-API entry of the fused-h DVL kernel (see
-    :func:`update_velocity_lanes`): pack → one launch → unpack."""
+    """Public-bank-API entry of the in-kernel measurement models
+    (:data:`FUSED_MODELS`): pack → one launch → unpack."""
     dtype = bstate.cov.dtype
     nb = bstate.cov.shape[0]
-    m = 3
+    m = FUSED_MODELS[model]
     z = jnp.asarray(z, dtype)
     meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
 
@@ -502,13 +602,13 @@ def update_velocity_fused_banked(
             [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
         )
 
-    thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)
-    covo_t, muo_t, m2, acc, nu_t = _pose_update_velocity_lanes(
+    covo_t, muo_t, m2, acc, nu_t = _pose_update_model_lanes(
+        model,
         z.T,
         jnp.transpose(meas_cov, (1, 2, 0)),
         mu_s.T,
         jnp.transpose(cov, (2, 1, 0)),
-        thr,
+        _scal_block(gate_threshold, aux, dtype),
         interpret=interpret,
     )
     cov_out = jnp.transpose(covo_t, (2, 1, 0))[:nb]
@@ -519,26 +619,25 @@ def update_velocity_fused_banked(
     return bstate._replace(mu=mu_out, cov=cov_out), info
 
 
-def update_velocity_lanes(
+def update_model_lanes(
+    model: str,
     lstate,
-    params: "PoseUKFParams",
-    z: jax.Array,  # (B, 3)
-    meas_cov: jax.Array,  # (B, 3, 3) or (3, 3)
+    z: jax.Array,  # (B, m)
+    meas_cov: jax.Array,  # (B, m, m) or (m, m)
     gate_threshold: float | None = None,
+    aux: tuple = (),
     *,
     interpret: bool = False,
 ):
-    """DVL velocity update with the measurement model fused in-kernel
-    (``PoseUKF.cpp:117-123,476-482``) — the highest-rate sensor of the
-    steady-state loop gets the zero-HBM-round-trip path; all other sensors
-    use the generic :func:`update_lanes`. Returns ``(LanesBankState,
-    UpdateInfo)`` with bank-first info fields."""
-    del params  # velocity h needs no parameters; kept for a uniform call shape
+    """Whole-update launch for an in-kernel measurement model on
+    kernel-layout state — the zero-HBM-round-trip path of the steady-state
+    loop; measurement models outside :data:`FUSED_MODELS` use the generic
+    :func:`update_lanes`. Returns ``(LanesBankState, UpdateInfo)``."""
     dtype = lstate.cov_t.dtype
     nb_pad = lstate.cov_t.shape[-1]
     nb = z.shape[0]
     pad = nb_pad - nb
-    m = 3
+    m = FUSED_MODELS[model]
     z = jnp.asarray(z, dtype)
     meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
     if pad:
@@ -546,15 +645,31 @@ def update_velocity_lanes(
         meas_cov = jnp.concatenate(
             [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
         )
-    thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)
-    covo_t, muo_t, m2, acc, nu_t = _pose_update_velocity_lanes(
-        z.T, jnp.transpose(meas_cov, (1, 2, 0)), lstate.mu_t, lstate.cov_t, thr,
-        interpret=interpret,
+    covo_t, muo_t, m2, acc, nu_t = _pose_update_model_lanes(
+        model, z.T, jnp.transpose(meas_cov, (1, 2, 0)), lstate.mu_t, lstate.cov_t,
+        _scal_block(gate_threshold, aux, dtype), interpret=interpret,
     )
     info = ukf.UpdateInfo(
         mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=nu_t.T[:nb]
     )
     return lstate._replace(cov_t=covo_t, mu_t=muo_t), info
+
+
+def update_velocity_fused_banked(
+    bstate, params, z, meas_cov, gate_threshold=None, *, interpret=False
+):
+    """Fused-h DVL update, public bank API (``PoseUKF.cpp:117-123,476-482``)."""
+    del params  # h reads no parameters (also valid for banked-params sweeps)
+    return update_model_fused_banked(
+        "velocity", bstate, z, meas_cov, gate_threshold, interpret=interpret
+    )
+
+
+def update_velocity_lanes(lstate, params, z, meas_cov, gate_threshold=None, *, interpret=False):
+    """Fused-h DVL update on kernel-layout state — the highest-rate sensor of
+    the steady-state loop (``PoseUKF.cpp:117-123,476-482``)."""
+    del params
+    return update_model_lanes("velocity", lstate, z, meas_cov, gate_threshold, interpret=interpret)
 
 
 def _measurement_stage(deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h):

@@ -173,10 +173,13 @@ def test_fused_update_all_measurement_models():
         return s._replace(mu=mu, cov=cov)
 
     # interpret-mode fused calls are routed by patching the backend gate off
+    # (both the generic fused tail and the in-kernel-model entry points)
     from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
     import functools
     orig = puf.update_fused_banked
+    orig_model = puf.update_model_fused_banked
     puf.update_fused_banked = functools.partial(orig, interpret=True)
+    puf.update_model_fused_banked = functools.partial(orig_model, interpret=True)
     try:
         for name, bank_fn, one_fn, z in cases:
             out = bank_fn(bstate, z)
@@ -193,6 +196,7 @@ def test_fused_update_all_measurement_models():
             )
     finally:
         puf.update_fused_banked = orig
+        puf.update_model_fused_banked = orig_model
 
 
 def test_fused_predict_large_orientation_spread():
@@ -346,14 +350,19 @@ def test_fused_predict_banked_params_matches_generic():
 
 
 def test_update_bank_rejects_banked_params():
+    """Parameter-DEPENDENT measurement models reject banked parameter sets
+    (their h closes over per-instance params that neither the fused tail nor
+    a state-only vmap can see). Params-independent models (velocity, z, xy,
+    acceleration, ADCP) accept banked params — pinned by
+    test_update_velocity_bank_accepts_banked_params."""
     bstate, params = _make_bank(2)
     params_bank = jax.vmap(lambda s: params._replace(process_noise=params.process_noise * s))(
         jnp.asarray([1.0, 2.0], jnp.float32)
     )
-    z = jnp.zeros((2, 3), jnp.float32)
-    r = jnp.eye(3, dtype=jnp.float32) * 1e-3
+    z = jnp.zeros((2, 1), jnp.float32)
+    r = jnp.eye(1, dtype=jnp.float32) * 1e2
     try:
-        pukf.update_velocity_bank(bstate, params_bank, z, r)
+        pukf.update_pressure_bank(bstate, params_bank, z, r)
         assert False, "expected ValueError for banked params"
     except ValueError as e:
         assert "banked parameter set" in str(e)
@@ -487,3 +496,99 @@ def test_update_velocity_bank_accepts_banked_params():
 
     with pytest.raises(ValueError):
         pukf.update_pressure_bank(bstate, params_bank, jnp.zeros((3, 1)), jnp.ones((3, 1, 1)))
+
+
+def test_all_in_kernel_measurement_models_match_generic():
+    """Every in-kernel measurement model (FUSED_MODELS) matches the generic
+    deltas → XLA-h → tail pipeline to f32 roundoff on a de-trivialized bank."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+    from slam_uwv_kalman_filters_tpu.ops import ukf as ukf_ops
+
+    bstate, params = _make_bank(2)
+    rv = jnp.asarray(RNG.normal(scale=0.4, size=(2, 3)), jnp.float32)
+    bstate = bstate._replace(
+        mu=bstate.mu._replace(
+            orientation=jax.vmap(mf.quat_exp)(rv),
+            position=jnp.asarray(RNG.normal(scale=5.0, size=(2, 3)), jnp.float32),
+            velocity=jnp.asarray(RNG.normal(size=(2, 3)), jnp.float32),
+            acceleration=jnp.asarray(RNG.normal(scale=0.3, size=(2, 3)), jnp.float32),
+            water_velocity=jnp.asarray(RNG.normal(scale=0.2, size=(2, 2)), jnp.float32),
+            water_velocity_below=jnp.asarray(RNG.normal(scale=0.2, size=(2, 2)), jnp.float32),
+        )
+    )
+    ls = pose_fused.to_lanes(bstate)
+    ls = pose_fused.predict_lanes(ls, params, 0.05, interpret=True)
+
+    p_atm = float(params.atmospheric_pressure)
+    lever = (0.1, -0.2, 0.3)
+    cw = 0.7
+    cases = {
+        "velocity": (
+            lambda s: mf.quat_rotate_inv(s.orientation, s.velocity),
+            ("orientation", "velocity"), (), None,
+        ),
+        "z_position": (lambda s: s.position[2:3], ("position",), (), None),
+        "xy_position": (lambda s: s.position[:2], ("position",), (), ukf_ops.D2P95),
+        "acceleration": (
+            lambda s: mf.quat_rotate_inv(
+                s.orientation,
+                s.acceleration + jnp.stack([jnp.zeros((), jnp.float32),
+                                            jnp.zeros((), jnp.float32), s.gravity[0]]),
+            )
+            + s.bias_acc,
+            ("orientation", "acceleration", "bias_acc", "gravity"), (), None,
+        ),
+        "pressure": (
+            lambda s: (
+                p_atm
+                - (s.position + mf.quat_rotate(s.orientation, jnp.asarray(lever, jnp.float32)))[2]
+                * s.gravity[0] * s.water_density[0]
+            )[None],
+            ("position", "orientation", "gravity", "water_density"),
+            (p_atm, *lever), None,
+        ),
+        "water_velocity": (
+            lambda s: (
+                cw * mf.quat_rotate_inv(
+                    s.orientation,
+                    s.velocity - jnp.stack([s.water_velocity_below[0],
+                                            s.water_velocity_below[1],
+                                            jnp.zeros((), jnp.float32)]),
+                )[:2]
+                + (1.0 - cw) * mf.quat_rotate_inv(
+                    s.orientation,
+                    s.velocity - jnp.stack([s.water_velocity[0], s.water_velocity[1],
+                                            jnp.zeros((), jnp.float32)]),
+                )[:2]
+                + s.bias_adcp
+            ),
+            ("orientation", "velocity", "water_velocity", "water_velocity_below", "bias_adcp"),
+            (cw,), ukf_ops.D2P95,
+        ),
+    }
+    assert set(cases) == set(puf.FUSED_MODELS)
+    for model, (h, deps, aux, gate) in cases.items():
+        m = puf.FUSED_MODELS[model]
+        z = jnp.asarray(RNG.normal(scale=0.5, size=(2, m)), jnp.float32)
+        if model == "pressure":
+            z = z * 1e3 + p_atm  # plausible pressures, not ~0
+        r = jnp.eye(m, dtype=jnp.float32) * (1e2 if model == "pressure" else 1e-3)
+        g, gi = puf.update_lanes(ls, params, z, r, h, deps, gate, interpret=True)
+        f, fi = puf.update_model_lanes(model, ls, z, r, gate, aux, interpret=True)
+        go, fo = pose_fused.from_lanes(g, bstate), pose_fused.from_lanes(f, bstate)
+        scale = float(jnp.max(jnp.abs(go.cov)))
+        np.testing.assert_allclose(
+            np.asarray(fo.cov), np.asarray(go.cov), atol=3e-6 * max(1.0, scale),
+            err_msg=model,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fo.mu.position), np.asarray(go.mu.position), atol=5e-5,
+            err_msg=model,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fi.mahalanobis2), np.asarray(gi.mahalanobis2),
+            rtol=2e-4, atol=1e-5, err_msg=model,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fi.accepted), np.asarray(gi.accepted), err_msg=model
+        )
