@@ -409,6 +409,20 @@ def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret,
     return cov_out, mu_out
 
 
+def _pad_bank(cov, mu_s, rr, pad, dtype):
+    """Append ``pad`` neutral filler instances so the bank is a LANE_TILE
+    multiple: identity covariance + copies of instance 0's mean/rates — the
+    single definition of the pad-lane convention (finite math in pad lanes,
+    rows dropped again on unpack). ``rr`` may be None."""
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(TANGENT_DIM, dtype=dtype), (pad, TANGENT_DIM, TANGENT_DIM))
+        cov = jnp.concatenate([cov, eye], axis=0)
+        mu_s = jnp.concatenate([mu_s, jnp.tile(mu_s[:1], (pad, 1))], axis=0)
+        if rr is not None:
+            rr = jnp.concatenate([rr, jnp.tile(rr[:1], (pad, 1))], axis=0)
+    return cov, mu_s, rr
+
+
 def _mirror_half(cov_t: jax.Array) -> jax.Array:
     """Rebuild the exactly symmetric matrix from a half-valid (n, n, B)
     covariance (valid at [i, j>=i] — the half the predict kernel writes) by
@@ -524,15 +538,9 @@ def predict_fused_banked(
     banked_params = params.process_noise.ndim == 3
 
     pad = (-nb) % LANE_TILE
-    cov = state.cov
-    mu_s = _pack_storage(state.mu)  # (B, 54)
-    rr = state.rotation_rate
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(TANGENT_DIM, dtype=dtype), (pad, TANGENT_DIM, TANGENT_DIM))
-        cov = jnp.concatenate([cov, eye], axis=0)
-        filler_mu = jnp.tile(mu_s[:1], (pad, 1))
-        mu_s = jnp.concatenate([mu_s, filler_mu], axis=0)
-        rr = jnp.concatenate([rr, jnp.tile(rr[:1], (pad, 1))], axis=0)
+    cov, mu_s, rr = _pad_bank(
+        state.cov, _pack_storage(state.mu), state.rotation_rate, pad, dtype
+    )
 
     cov_t = jnp.transpose(cov, (2, 1, 0))
     mu_t = mu_s.T
@@ -600,7 +608,10 @@ def predict_fused_banked(
 class LanesBankState(NamedTuple):
     """PoseUKF bank in kernel layout: covariance (53, 53, nb) (col, row, B),
     mean (54, nb) storage rows, rotation rate (3, nb); ``nb`` is padded to a
-    lane multiple and ``valid`` is the true bank size.
+    lane multiple. The true (unpadded) bank size is NOT carried here — it is
+    a static property the caller supplies (``from_lanes`` takes it from the
+    ``like`` state's shape, the lanes updates from ``z.shape[0]``); a traced
+    field could never drive those static slices anyway.
 
     ``cov_t`` is LOWER-TRIANGLE-VALID between fused calls: the predict kernel
     computes only cov(r, c≤r) (the symmetric upper half would double the
@@ -611,7 +622,6 @@ class LanesBankState(NamedTuple):
     cov_t: jax.Array  # (53, 53, nb)
     mu_t: jax.Array  # (54, nb)
     rr_t: jax.Array  # (3, nb)
-    valid: jax.Array  # () int32 — true (unpadded) bank size
 
 
 def to_lanes(state: "PoseUKFState") -> LanesBankState:
@@ -619,19 +629,13 @@ def to_lanes(state: "PoseUKFState") -> LanesBankState:
     dtype = state.cov.dtype
     nb = state.cov.shape[0]
     pad = (-nb) % LANE_TILE
-    cov = state.cov
-    mu_s = _pack_storage(state.mu)
-    rr = state.rotation_rate
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(TANGENT_DIM, dtype=dtype), (pad, TANGENT_DIM, TANGENT_DIM))
-        cov = jnp.concatenate([cov, eye], axis=0)
-        mu_s = jnp.concatenate([mu_s, jnp.tile(mu_s[:1], (pad, 1))], axis=0)
-        rr = jnp.concatenate([rr, jnp.tile(rr[:1], (pad, 1))], axis=0)
+    cov, mu_s, rr = _pad_bank(
+        state.cov, _pack_storage(state.mu), state.rotation_rate, pad, dtype
+    )
     return LanesBankState(
         cov_t=jnp.transpose(cov, (2, 1, 0)),
         mu_t=mu_s.T,
         rr_t=rr.T,
-        valid=jnp.asarray(nb, jnp.int32),
     )
 
 

@@ -36,6 +36,7 @@ from .pose_fused import (
     STORAGE_DIM,
     TANGENT_DIM,
     _pack_storage,
+    _pad_bank,
     _qexp,
     _qmul,
     _qnorm4,
@@ -346,10 +347,7 @@ def _make_update_model_kernel(model: str):
 
         mu = mu_ref[:]
         aux = tuple(scal_ref[1 + i, 0] for i in range(5))
-        Z = _model_measurement(model, mu, y_ref, aux)
-        inv_n = 1.0 / NSIG
-        zm = [jnp.sum(za, axis=0, keepdims=True) * inv_n for za in Z]
-        dzc = [za - zma for za, zma in zip(Z, zm)]
+        dzc, zm = _centered_measurement(model, mu, y_ref, aux)
         z_in = z_ref[:]
         nu = jnp.concatenate([z_in[a : a + 1] - zm[a] for a in range(m)], axis=0)
         nu_ref[:] = nu
@@ -361,13 +359,14 @@ def _make_update_model_kernel(model: str):
     return kernel
 
 
-def _velocity_measurement(mu, y_ref):
-    """DVL components for the whole-step kernel (see _model_measurement)."""
-    Z = _model_measurement("velocity", mu, y_ref, (0.0,) * 5)
+def _centered_measurement(model, mu, y_ref, aux):
+    """(dzc, zm): sigma-point measurement components centered on their
+    equal-weight mean — the one place the centering convention lives (used by
+    both the per-model update kernels and the whole-step kernel)."""
+    Z = _model_measurement(model, mu, y_ref, aux)
     inv_n = 1.0 / NSIG
     zm = [jnp.sum(za, axis=0, keepdims=True) * inv_n for za in Z]
-    dzc = [za - zma for za, zma in zip(Z, zm)]
-    return dzc, zm
+    return [za - zma for za, zma in zip(Z, zm)], zm
 
 
 def _pose_update_model_lanes(model, z_t, r_t, mu_t, cov_t, scal, *, interpret):
@@ -458,7 +457,7 @@ def _make_step_velocity_kernel():
 
         equilibrated_sigma_columns(covp_ref, c_ref, write_column)
         mu = mup_ref[:]
-        dzc, zm = _velocity_measurement(mu, y_ref)
+        dzc, zm = _centered_measurement("velocity", mu, y_ref, (0.0,) * 5)
         z_in = z_ref[:]
         nu = jnp.concatenate([z_in[a : a + 1] - zm[a] for a in range(m)], axis=0)
         nu_ref[:] = nu
@@ -549,11 +548,7 @@ def step_velocity_lanes(
     coeff, offs, q0m, scal = _predict_operands_shared(params, dt, dtype)
     z = jnp.asarray(z, dtype)
     meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
-    if pad:
-        z = jnp.concatenate([z, jnp.zeros((pad, m), dtype)], axis=0)
-        meas_cov = jnp.concatenate(
-            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
-        )
+    z, meas_cov = _pad_measurement(z, meas_cov, pad, m, dtype)
     thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)
     covo_t, muo_t, m2, acc, nu_t = _pose_step_velocity_lanes(
         lstate.cov_t, lstate.mu_t, lstate.rr_t, coeff, offs, q0m, scal,
@@ -565,11 +560,23 @@ def step_velocity_lanes(
     return lstate._replace(cov_t=covo_t, mu_t=muo_t), info
 
 
+def _pad_measurement(z, meas_cov, pad, m, dtype):
+    """Neutral pad-lane measurement filler (z = 0, R = I): finite math in pad
+    lanes, gate-accepted, dropped again on unpack."""
+    if pad:
+        z = jnp.concatenate([z, jnp.zeros((pad, m), dtype)], axis=0)
+        meas_cov = jnp.concatenate(
+            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
+        )
+    return z, meas_cov
+
+
 def _scal_block(gate_threshold, aux, dtype):
-    """(6, 1) SMEM operand: [gate threshold (<0 ⇒ accept any); aux×5]."""
-    vals = [-1.0 if gate_threshold is None else float(gate_threshold)]
+    """(6, 1) SMEM operand: [gate threshold (<0 ⇒ accept any); aux×5].
+    Threshold and aux entries may be jit-traced values."""
+    vals = [-1.0 if gate_threshold is None else gate_threshold]
     vals += list(aux) + [0.0] * (5 - len(aux))
-    return jnp.asarray(vals, dtype)[:, None]
+    return jnp.stack([jnp.asarray(v, dtype) for v in vals])[:, None]
 
 
 def update_model_fused_banked(
@@ -591,16 +598,8 @@ def update_model_fused_banked(
     meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
 
     pad = (-nb) % LANE_TILE
-    cov = bstate.cov
-    mu_s = _pack_storage(bstate.mu)
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(TANGENT_DIM, dtype=dtype), (pad, TANGENT_DIM, TANGENT_DIM))
-        cov = jnp.concatenate([cov, eye], axis=0)
-        mu_s = jnp.concatenate([mu_s, jnp.tile(mu_s[:1], (pad, 1))], axis=0)
-        z = jnp.concatenate([z, jnp.zeros((pad, m), dtype)], axis=0)
-        meas_cov = jnp.concatenate(
-            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
-        )
+    cov, mu_s, _ = _pad_bank(bstate.cov, _pack_storage(bstate.mu), None, pad, dtype)
+    z, meas_cov = _pad_measurement(z, meas_cov, pad, m, dtype)
 
     covo_t, muo_t, m2, acc, nu_t = _pose_update_model_lanes(
         model,
@@ -640,11 +639,7 @@ def update_model_lanes(
     m = FUSED_MODELS[model]
     z = jnp.asarray(z, dtype)
     meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
-    if pad:
-        z = jnp.concatenate([z, jnp.zeros((pad, m), dtype)], axis=0)
-        meas_cov = jnp.concatenate(
-            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
-        )
+    z, meas_cov = _pad_measurement(z, meas_cov, pad, m, dtype)
     covo_t, muo_t, m2, acc, nu_t = _pose_update_model_lanes(
         model, z.T, jnp.transpose(meas_cov, (1, 2, 0)), lstate.mu_t, lstate.cov_t,
         _scal_block(gate_threshold, aux, dtype), interpret=interpret,
@@ -750,12 +745,7 @@ def update_fused_banked(
     meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
 
     pad = (-nb) % LANE_TILE
-    cov = bstate.cov
-    mu_s = _pack_storage(bstate.mu)
-    if pad:
-        eye = jnp.broadcast_to(jnp.eye(TANGENT_DIM, dtype=dtype), (pad, TANGENT_DIM, TANGENT_DIM))
-        cov = jnp.concatenate([cov, eye], axis=0)
-        mu_s = jnp.concatenate([mu_s, jnp.tile(mu_s[:1], (pad, 1))], axis=0)
+    cov, mu_s, _ = _pad_bank(bstate.cov, _pack_storage(bstate.mu), None, pad, dtype)
 
     cov_t = jnp.transpose(cov, (2, 1, 0))
     deltas_t = _sigma_deltas_lanes(cov_t, interpret=interpret)  # (107, 53, nb)
@@ -794,8 +784,6 @@ def update_lanes(
     (:class:`models.pose_fused.LanesBankState`) — the covariance never leaves
     the (col, row, B) layout between consecutive fused steps. Returns
     ``(LanesBankState, UpdateInfo)`` with bank-first info fields."""
-    from .pose_fused import _unpack_storage
-
     dtype = lstate.cov_t.dtype
     nb_pad = lstate.cov_t.shape[-1]
     nb = z.shape[0]

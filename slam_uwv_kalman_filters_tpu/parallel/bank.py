@@ -75,7 +75,9 @@ def masked(update_fn: Callable) -> Callable:
 
     def wrapped(state, valid, *args, **kw):
         out = update_fn(state, *args, **kw)
-        if isinstance(out, tuple):
+        # plain tuple = (state, info); a NamedTuple filter state is also a
+        # tuple instance, so the check must be on the exact type
+        if type(out) is tuple:
             new_state, info = out
             return select_where(valid, new_state, state), info
         return select_where(valid, out, state)

@@ -84,7 +84,9 @@ def guarded(
 
     def wrapped(bank_state, *args, **kw):
         out = step_fn(bank_state, *args, **kw)
-        new_state, aux = out if isinstance(out, tuple) else (out, None)
+        # plain tuple = (state, aux); anything else (incl. NamedTuple filter
+        # states, which ARE tuples) is a bare state
+        new_state, aux = out if type(out) is tuple else (out, None)
         healthy = health_mask(new_state, max_cov_trace=max_cov_trace)
         bank_out = select_where(healthy, new_state, bank_state)
         if aux is None:

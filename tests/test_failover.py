@@ -125,3 +125,18 @@ def test_self_healing_step_with_checkpoint_snapshot(tmp_path):
     np.testing.assert_array_equal(np.asarray(bstate3.cov[1]), np.asarray(snapshot.cov[1]))
     # survivors kept stepping
     assert float(jnp.linalg.norm(bstate3.mu.velocity[0])) > 0.0
+
+
+def test_guarded_accepts_bare_state_step():
+    """A step returning a bare filter state (a NamedTuple — which IS a tuple)
+    must not be mistaken for a (state, aux) pair."""
+    state, params = pose_filter()
+    bstate = bank.replicate(state, 2)
+    out, healthy = failover.guarded(lambda bs: pukf.predict_bank(bs, params, 0.01))(bstate)
+    np.testing.assert_array_equal(np.asarray(healthy), [True, True])
+    assert out.cov.shape == (2, 53, 53)
+    # same contract in bank.masked
+    upd = lambda bs: pukf.predict_bank(bs, params, 0.01)
+    masked_out = bank.masked(upd)(bstate, jnp.array([True, False]))
+    np.testing.assert_array_equal(np.asarray(masked_out.cov[1]), np.asarray(bstate.cov[1]))
+    assert float(jnp.max(jnp.abs(masked_out.cov[0] - bstate.cov[0]))) > 0.0
