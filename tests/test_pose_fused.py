@@ -317,6 +317,19 @@ def test_fused_parity_fuzz_random_states_and_dt():
         np.testing.assert_array_equal(
             np.asarray(info3.accepted), np.asarray(info.accepted), err_msg=f"trial {trial} gate"
         )
+        # the in-kernel model route must agree with both on the same fuzz state
+        out4, info4 = puf.update_model_fused_banked(
+            "xy_position", out, out.mu.position[:, :2] + z * 0.01, r, 5.991,
+            interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out4.cov), np.asarray(out2.cov), rtol=5e-3, atol=2e-5,
+            err_msg=f"trial {trial} in-kernel model",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(info4.accepted), np.asarray(info.accepted),
+            err_msg=f"trial {trial} in-kernel gate",
+        )
 
 
 def test_fused_predict_banked_params_matches_generic():
