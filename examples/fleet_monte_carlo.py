@@ -120,6 +120,30 @@ def main(argv=None):
     worst = np.abs(v - np.asarray(true_v)).max()
     print(f"worst-instance velocity error: {worst:.4f} m/s")
     assert worst < 0.05, "bank diverged"
+
+    # ---- elastic recovery (parallel.failover): poison a few instances and
+    # let the self-healing step restart them from the last healthy snapshot —
+    # the pod-job answer to the reference's manual resetFilterWithExternalPose
+    from slam_uwv_kalman_filters_tpu.parallel import failover
+
+    snapshot = bstate  # stands in for the last checkpoint.restore(...)
+    vel = np.asarray(bstate.mu.velocity).copy()
+    dead_idx = rng.choice(args.bank, size=max(1, args.bank // 100), replace=False)
+    vel[dead_idx, 0] = np.nan  # simulated corruption (e.g. a bad sensor burst)
+    poisoned = bstate._replace(mu=bstate.mu._replace(velocity=jnp.asarray(vel)))
+
+    heal = jax.jit(
+        failover.self_healing_step(
+            lambda bs, z: pukf.update_velocity_bank(
+                pukf.predict_bank(bs, params, dt), params, z, jnp.eye(3, dtype=dtype) * 1e-4
+            )
+        )
+    )
+    healed, info, _ = heal(poisoned, snapshot, z)
+    n_reseeded = int(info.n_reseeded)
+    print(f"failover: {n_reseeded}/{args.bank} poisoned instances restarted from snapshot")
+    assert n_reseeded == len(dead_idx)
+    assert bool(jnp.all(failover.health_mask(healed))), "heal left dead instances"
     print("FLEET OK")
 
 
