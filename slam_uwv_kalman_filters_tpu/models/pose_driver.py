@@ -132,11 +132,19 @@ class TickOutput(NamedTuple):
     orientation: jax.Array
     velocity: jax.Array
     cov_trace: jax.Array
+    # per-step observability (utils.metrics semantics): the DVL NIS — the
+    # highest-rate consistency signal — and the χ²-gate outcome of the ADCP
+    # update; both neutral (0 / False) on ticks without that measurement
+    dvl_nis: jax.Array
+    adcp_accepted: jax.Array
 
 
 def _masked_update(state, valid, update_fn, *args):
+    """Apply an update only where ``valid``; returns (state, info) so gated
+    sensors stay observable (``info`` fields are only meaningful under
+    ``valid`` — mask them at use sites)."""
     new_state, info = update_fn(*args)
-    return select_where(valid, new_state, state)
+    return select_where(valid, new_state, state), info
 
 
 def pose_step(
@@ -148,13 +156,13 @@ def pose_step(
     state = pukf.integrate_rotation_rate(state, inp.rotation_rate)
     state = pukf.predict(state, params, inp.dt)
 
-    state = _masked_update(
+    state, _ = _masked_update(
         state, inp.acc_valid, pukf.update_acceleration, state, params, inp.acc, inp.acc_cov
     )
-    state = _masked_update(
+    state, dvl_info = _masked_update(
         state, inp.dvl_valid, pukf.update_velocity, state, params, inp.dvl, inp.dvl_cov
     )
-    state = _masked_update(
+    state, _ = _masked_update(
         state,
         inp.pressure_valid,
         pukf.update_pressure,
@@ -163,10 +171,10 @@ def pose_step(
         inp.pressure,
         inp.pressure_cov,
     )
-    state = _masked_update(
+    state, _ = _masked_update(
         state, inp.xy_valid, pukf.update_xy_position, state, params, inp.xy, inp.xy_cov
     )
-    state = _masked_update(
+    state, adcp_info = _masked_update(
         state,
         inp.adcp_valid,
         pukf.update_water_velocity,
@@ -176,7 +184,7 @@ def pose_step(
         inp.adcp_cov,
         inp.adcp_cell_weighting,
     )
-    state = _masked_update(
+    state, _ = _masked_update(
         state,
         inp.efforts_valid,
         pukf.update_body_efforts,
@@ -191,6 +199,8 @@ def pose_step(
         orientation=state.mu.orientation,
         velocity=state.mu.velocity,
         cov_trace=jnp.trace(state.cov),
+        dvl_nis=jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0),
+        adcp_accepted=inp.adcp_valid & adcp_info.accepted,
     )
     return state, out
 
@@ -205,13 +215,11 @@ def run_trajectory(
 
 
 def _masked_bank(bstate, valid, update_fn, *args):
-    new_state, _ = update_fn(*args)
-    sel = lambda a, b: jnp.where(valid[:, None, None] if a.ndim == 3 else valid[:, None], a, b)
-    return pukf.PoseUKFState(
-        mu=jax.tree_util.tree_map(sel, new_state.mu, bstate.mu),
-        cov=sel(new_state.cov, bstate.cov),
-        rotation_rate=bstate.rotation_rate,
-    )
+    """Bank-level masked update (rank-agnostic via bank.select_where — the
+    update leaves rotation_rate untouched, so selecting the whole state is a
+    no-op on it). Returns (state, info)."""
+    new_state, info = update_fn(*args)
+    return select_where(valid, new_state, bstate), info
 
 
 def pose_step_bank(
@@ -224,13 +232,13 @@ def pose_step_bank(
     bstate = bstate._replace(rotation_rate=inp.rotation_rate)
     bstate = pukf.predict_bank(bstate, params, inp.dt[0])
 
-    bstate = _masked_bank(
+    bstate, _ = _masked_bank(
         bstate, inp.acc_valid, pukf.update_acceleration_bank, bstate, params, inp.acc, inp.acc_cov
     )
-    bstate = _masked_bank(
+    bstate, dvl_info = _masked_bank(
         bstate, inp.dvl_valid, pukf.update_velocity_bank, bstate, params, inp.dvl, inp.dvl_cov
     )
-    bstate = _masked_bank(
+    bstate, _ = _masked_bank(
         bstate,
         inp.pressure_valid,
         pukf.update_pressure_bank,
@@ -239,10 +247,10 @@ def pose_step_bank(
         inp.pressure,
         inp.pressure_cov,
     )
-    bstate = _masked_bank(
+    bstate, _ = _masked_bank(
         bstate, inp.xy_valid, pukf.update_xy_position_bank, bstate, params, inp.xy, inp.xy_cov
     )
-    bstate = _masked_bank(
+    bstate, adcp_info = _masked_bank(
         bstate,
         inp.adcp_valid,
         pukf.update_water_velocity_bank,
@@ -257,19 +265,14 @@ def pose_step_bank(
         s2, _ = pukf.update_body_efforts(s, params, z, r)
         return s2
     eff_state = jax.vmap(_efforts_one)(bstate, inp.efforts, inp.efforts_cov)
-    sel = lambda a, b: jnp.where(
-        inp.efforts_valid[:, None, None] if a.ndim == 3 else inp.efforts_valid[:, None], a, b
-    )
-    bstate = pukf.PoseUKFState(
-        mu=jax.tree_util.tree_map(sel, eff_state.mu, bstate.mu),
-        cov=sel(eff_state.cov, bstate.cov),
-        rotation_rate=bstate.rotation_rate,
-    )
+    bstate = select_where(inp.efforts_valid, eff_state, bstate)
     out = TickOutput(
         position=bstate.mu.position,
         orientation=bstate.mu.orientation,
         velocity=bstate.mu.velocity,
         cov_trace=jnp.trace(bstate.cov, axis1=-2, axis2=-1),
+        dvl_nis=jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0),
+        adcp_accepted=inp.adcp_valid & adcp_info.accepted,
     )
     return bstate, out
 

@@ -527,7 +527,6 @@ def predict_bank(
         use_fused = (
             bstate.cov.dtype == jnp.float32
             and bstate.cov.ndim == 3
-            and params.process_noise.ndim in (2, 3)
             and jax.default_backend() == "tpu"
         )
     if use_fused:
@@ -1128,7 +1127,14 @@ def update_delayed_position_buffered(
         cov=sel(new_state.cov, state.cov),
         rotation_rate=state.rotation_rate,
     )
-    return out, info._replace(accepted=keep), found
+    # with found=False the lookup (and hence the innovation/NIS) is garbage —
+    # neutralize them so NIS monitoring never records a phantom update
+    info = ukf.UpdateInfo(
+        mahalanobis2=jnp.where(found, info.mahalanobis2, 0.0),
+        accepted=keep,
+        innovation=jnp.where(found, info.innovation, jnp.zeros_like(info.innovation)),
+    )
+    return out, info, found
 
 
 def reset_with_external_pose(
@@ -1268,7 +1274,7 @@ class PoseUKF:
         self._delayed_buffer = delayed_states.make_buffer(
             capacity, 2, maximum_delay, dtype=self.state.cov.dtype
         )
-        self._filter_ts = jnp.zeros((), jnp.int64)
+        self._filter_ts = delayed_states.from_seconds(0.0)
 
     def prediction_step(self, dt: float) -> None:
         self.state = predict(self.state, self.params, dt)

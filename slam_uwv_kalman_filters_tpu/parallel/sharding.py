@@ -54,10 +54,16 @@ def init_multihost(
     with ``jax.process_index()``. Returns the process index. Idempotent."""
     if getattr(jax.distributed, "is_initialized", lambda: False)():
         return jax.process_index()
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
     except (ValueError, RuntimeError):
-        # single-process run (no coordinator detectable) — a 1-host "pod"
+        if explicit:
+            # a requested multi-host bootstrap that fails must fail LOUDLY:
+            # silently continuing would leave each host computing an
+            # independent full bank with locally-correct-looking results
+            raise
+        # no coordinator detectable and none requested — a 1-host "pod"
         pass
     return jax.process_index()
 

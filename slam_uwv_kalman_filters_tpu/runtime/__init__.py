@@ -37,6 +37,7 @@ _REPO_ROOT = Path(__file__).resolve().parents[2]
 _RUNTIME_DIR = _REPO_ROOT / "runtime"
 _LIB_PATH = _RUNTIME_DIR / "libuwv_runtime.so"
 _lib: Optional[ctypes.CDLL] = None
+_load_failed = False  # caches a failed build so the hot ingest path never re-spawns make
 
 
 def build(force: bool = False) -> bool:
@@ -51,10 +52,13 @@ def build(force: bool = False) -> bool:
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     if not _LIB_PATH.exists() and not build():
+        _load_failed = True
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
     i64, i32, f64p, u8p = (
@@ -143,20 +147,31 @@ def pack_schedule(
 
 
 def forward_fill(values: np.ndarray, valid: np.ndarray, initial: np.ndarray):
-    """Input-sensor semantics: every tick carries the last received value."""
+    """Input-sensor semantics: every tick carries the last received value.
+
+    ``initial`` may be shorter than the row stride (the packer uses one
+    shared stride = the widest sensor); it is zero-extended so the native
+    and NumPy paths fill the full row identically — the C side memcpy's
+    ``stride`` doubles, so handing it a shorter buffer would read out of
+    bounds."""
     values = np.ascontiguousarray(values, np.float64)
     valid_u8 = np.ascontiguousarray(valid, np.uint8)
-    initial = np.ascontiguousarray(initial, np.float64)
+    initial = np.ascontiguousarray(initial, np.float64).reshape(-1)
+    stride = values.shape[1]
+    if len(initial) > stride:
+        raise ValueError(f"initial has {len(initial)} entries for stride {stride}")
+    if len(initial) < stride:
+        initial = np.concatenate([initial, np.zeros(stride - len(initial))])
     lib = _load()
-    if lib is not None:
-        lib.uwv_forward_fill(values, valid_u8, values.shape[0], values.shape[1], initial)
+    if lib is not None and stride <= 64:  # the native last-value buffer caps at 64
+        lib.uwv_forward_fill(values, valid_u8, values.shape[0], stride, initial)
         return values, valid_u8.astype(bool)
     last = initial.copy()
     for t in range(values.shape[0]):
         if valid_u8[t]:
-            last = values[t, : len(last)].copy()
+            last = values[t].copy()
         else:
-            values[t, : len(last)] = last
+            values[t] = last
             valid_u8[t] = 1
     return values, valid_u8.astype(bool)
 

@@ -8,6 +8,13 @@ The reference declares the buffer for out-of-sequence XY-position fusion
 ``push`` is a ``dynamic_update_slice``, lookup is an argmin over timestamp
 distance with validity masking — no dynamic allocation, so it lives happily
 inside jitted, vmapped filter loops.
+
+Timestamps are integer ticks whose width follows the runtime's x64 setting:
+int64 **microseconds** with x64 enabled (bit-parity with the reference's
+``fromSeconds``), int64-unavailable runtimes (the f32 TPU deployment path)
+use int32 **milliseconds** — still ~24 days before wraparound versus ~36
+minutes if microseconds were kept. All durations must flow through
+:func:`from_seconds`, which keeps callers unit-agnostic.
 """
 
 from __future__ import annotations
@@ -17,30 +24,42 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["DelayedStates", "make_buffer", "push", "closest", "from_seconds"]
+__all__ = ["DelayedStates", "make_buffer", "push", "closest", "from_seconds", "ticks_per_second"]
 
-_US_PER_S = 1_000_000
+
+def _ts_dtype():
+    """int64 when available, else int32 (canonicalize_dtype respects both the
+    global x64 flag and enable/disable_x64 contexts)."""
+    return jax.dtypes.canonicalize_dtype(jnp.int64)
+
+
+def ticks_per_second() -> int:
+    """Integer ticks per second: 1e6 (µs, reference parity) with x64; 1e3
+    (ms) on 32-bit-only runtimes so int32 timestamps wrap after ~24 days."""
+    return 1_000_000 if _ts_dtype() == jnp.int64 else 1_000
 
 
 def from_seconds(seconds) -> jax.Array:
-    """``DelayedStates::fromSeconds`` — seconds → integer microseconds."""
-    return jnp.asarray(jnp.round(jnp.asarray(seconds, jnp.float64) * _US_PER_S), jnp.int64)
+    """``DelayedStates::fromSeconds`` — seconds → integer timestamp ticks
+    (see module docstring for the tick unit)."""
+    f = jax.dtypes.canonicalize_dtype(jnp.float64)
+    return jnp.asarray(jnp.round(jnp.asarray(seconds, f) * ticks_per_second()), _ts_dtype())
 
 
 class DelayedStates(NamedTuple):
-    timestamps: jax.Array  # (N,) int64 microseconds
+    timestamps: jax.Array  # (N,) integer ticks (from_seconds units)
     values: jax.Array  # (N, d)
     covs: jax.Array  # (N, d, d)
     head: jax.Array  # () int32 — next write slot
     count: jax.Array  # () int32 — valid entries (≤ N)
-    max_delay_us: jax.Array  # () int64 — maximum accepted measurement delay
+    max_delay_us: jax.Array  # () ticks — maximum accepted measurement delay
 
 
 def make_buffer(capacity: int, dim: int, maximum_delay: float, dtype=jnp.float64) -> DelayedStates:
     """Fixed-capacity buffer; ``maximum_delay`` in seconds mirrors the
     reference ``setupDelayedStateBuffer`` argument (``src/PoseUKF.hpp:130-133``)."""
     return DelayedStates(
-        timestamps=jnp.zeros(capacity, jnp.int64),
+        timestamps=jnp.zeros(capacity, _ts_dtype()),
         values=jnp.zeros((capacity, dim), dtype),
         covs=jnp.zeros((capacity, dim, dim), dtype),
         head=jnp.zeros((), jnp.int32),
@@ -54,7 +73,7 @@ def push(buf: DelayedStates, ts_us: jax.Array, value: jax.Array, cov: jax.Array)
     i = buf.head
     n = buf.timestamps.shape[0]
     return buf._replace(
-        timestamps=buf.timestamps.at[i].set(jnp.asarray(ts_us, jnp.int64)),
+        timestamps=buf.timestamps.at[i].set(jnp.asarray(ts_us, buf.timestamps.dtype)),
         values=buf.values.at[i].set(value),
         covs=buf.covs.at[i].set(cov),
         head=(i + 1) % n,
@@ -72,8 +91,8 @@ def closest(buf: DelayedStates, ts_us: jax.Array):
     n = buf.timestamps.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < buf.count  # slots written at least once (head wraps ⇒ all valid)
-    dist = jnp.abs(buf.timestamps - jnp.asarray(ts_us, jnp.int64))
-    big = jnp.iinfo(jnp.int64).max
+    dist = jnp.abs(buf.timestamps - jnp.asarray(ts_us, buf.timestamps.dtype))
+    big = jnp.iinfo(buf.timestamps.dtype).max
     dist = jnp.where(valid, dist, big)
     best = jnp.argmin(dist)
     found = (buf.count > 0) & (dist[best] <= buf.max_delay_us)

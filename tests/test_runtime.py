@@ -133,3 +133,22 @@ def test_packer_feeds_pose_driver():
     one = jax.tree_util.tree_map(lambda a: a[0], inputs)
     state2, out = drv.pose_step(state, params, one)
     assert np.isfinite(float(out.cov_trace))
+
+
+def test_forward_fill_short_initial_zero_extends():
+    """`initial` shorter than the row stride (shared widest-sensor stride)
+    must zero-extend identically on the native and NumPy paths (regression:
+    the native call read past the end of a short `initial` buffer)."""
+    vals = np.zeros((4, 6))
+    vals[2, :3] = [7.0, 8.0, 9.0]
+    valid = np.array([0, 0, 1, 0], np.uint8)
+    out, f = rt.forward_fill(vals.copy(), valid.copy(), np.array([1.0, 2.0, 3.0]))
+    assert f.all()
+    np.testing.assert_allclose(out[0], [1, 2, 3, 0, 0, 0])  # zero-extended initial
+    np.testing.assert_allclose(out[1], [1, 2, 3, 0, 0, 0])
+    np.testing.assert_allclose(out[3], [7, 8, 9, 0, 0, 0])  # carried full row
+    try:
+        rt.forward_fill(vals.copy(), valid.copy(), np.zeros(9))
+        assert False, "expected ValueError for initial longer than stride"
+    except ValueError:
+        pass

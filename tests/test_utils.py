@@ -147,3 +147,22 @@ def test_metrics():
     q1 = mf.quat_exp(jnp.array([0.0, 0.0, 0.3]))
     q2 = mf.quat_identity()
     np.testing.assert_allclose(float(metrics.heading_error(q1, q2)), 0.3, atol=1e-12)
+
+
+def test_delayed_buffer_without_x64():
+    """On 32-bit-only runtimes (the f32 TPU path) the buffer must degrade to
+    int32 millisecond ticks instead of crashing on an int64 sentinel
+    (regression: closest() raised OverflowError with x64 disabled)."""
+    with jax.enable_x64(False):
+        assert ds.ticks_per_second() == 1_000
+        buf = ds.make_buffer(8, 2, maximum_delay=1.0, dtype=jnp.float32)
+        assert buf.timestamps.dtype == jnp.int32
+        for k in range(5):
+            buf = ds.push(buf, ds.from_seconds(0.1 * k), jnp.full(2, float(k)),
+                          jnp.eye(2, dtype=jnp.float32))
+        v, c, found = ds.closest(buf, ds.from_seconds(0.21))
+        assert bool(found)
+        np.testing.assert_allclose(np.asarray(v), [2.0, 2.0])
+        _, _, found_far = ds.closest(buf, ds.from_seconds(5.0))
+        assert not bool(found_far)
+    assert ds.ticks_per_second() == 1_000_000  # restored with x64
