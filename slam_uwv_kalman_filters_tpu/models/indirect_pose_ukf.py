@@ -211,6 +211,16 @@ def update_markers(
     (``IndirectPoseUKF.cpp:94-135``): augment with the marker pose (12-DOF
     fixed-shape filter), apply one S² update per feature, marginalize back.
     Returns the info of the last feature update."""
+    k = marker_features.shape[0]
+    if k == 0:
+        raise ValueError("update_markers needs at least one feature")
+    if feature_positions.shape[0] != k or feature_covs.shape[0] != k:
+        # JAX would silently CLAMP an out-of-range feature_positions[i] to the
+        # last row, matching features against the wrong 3D corner — fail loudly
+        raise ValueError(
+            f"{k} marker_features but {feature_positions.shape[0]} feature_positions "
+            f"/ {feature_covs.shape[0]} feature_covs"
+        )
     aug_mu = PoseErrorStateWithMarker(
         position_error=state.mu.position_error,
         orientation_error=state.mu.orientation_error,
@@ -223,7 +233,6 @@ def update_markers(
     aug_cov = aug_cov.at[6:, 6:].set(cov_marker_pose)
 
     info = None
-    k = marker_features.shape[0]
     for i in range(k):  # K is static (typically 4 corners) — unrolled under jit
         z = pixel_to_s2(marker_features[i], camera)
         r = pixel_cov_to_s2(feature_covs[i], camera)

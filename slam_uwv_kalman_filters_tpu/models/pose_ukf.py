@@ -994,6 +994,16 @@ def update_visual_features(
     (``PoseUKF.cpp:613-654``): filter ⊕ marker pose, one S² update per corner
     (pixel→bearing via pinhole, covariance scaled by 1/f²), then marginalize
     the filter block back out. Fixed shapes throughout — jit-safe."""
+    k = marker_features.shape[0]
+    if k == 0:
+        raise ValueError("update_visual_features needs at least one feature")
+    if feature_positions.shape[0] != k or feature_covs.shape[0] != k:
+        # JAX silently clamps out-of-range indices — a feature matched against
+        # the wrong 3D corner corrupts the pose instead of failing loudly
+        raise ValueError(
+            f"{k} marker_features but {feature_positions.shape[0]} feature_positions "
+            f"/ {feature_covs.shape[0]} feature_covs"
+        )
     aug_mu = PoseStateWithMarker(
         *state.mu, marker_position=marker_position, marker_orientation=marker_orientation
     )

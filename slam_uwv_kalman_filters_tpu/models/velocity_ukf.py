@@ -37,6 +37,7 @@ __all__ = [
     "VelocityUKFState",
     "VelocityUKFParams",
     "init",
+    "initial_filter_state",
     "default_process_noise",
     "predict",
     "update_dvl",
@@ -87,21 +88,12 @@ def default_process_noise(dtype=jnp.float64) -> jax.Array:
     return q.at[:3, :3].set(1e-4 * jnp.eye(3, dtype=dtype))
 
 
-def init(
-    initial_state: VelocityState,
-    state_cov: jax.Array,
-    model: dyn.UWVParameters,
-) -> tuple[VelocityUKFState, VelocityUKFParams]:
-    """Construct filter state + params.
-
-    Fuses the reference ctor (``VelocityUKF.cpp:49-56``) and
-    ``setupMotionModel`` (``VelocityUKF.cpp:58-77``): the orientation tracker
-    starts at the origin with identity orientation and the filter's current
-    velocity.
-    """
+def initial_filter_state(initial_state: VelocityState, state_cov: jax.Array) -> VelocityUKFState:
+    """Filter-state construction of the reference ctor (``VelocityUKF.cpp:49-56``):
+    the orientation tracker starts at the origin with identity orientation
+    and the filter's current velocity; input caches zero."""
     dtype = initial_state.velocity.dtype
-    params = VelocityUKFParams(model=model, process_noise=default_process_noise(dtype))
-    state = VelocityUKFState(
+    return VelocityUKFState(
         mu=initial_state,
         cov=jnp.asarray(state_cov, dtype=dtype),
         body_efforts=jnp.zeros(6, dtype=dtype),
@@ -113,7 +105,19 @@ def init(
             angular_velocity=jnp.zeros(3, dtype=dtype),
         ),
     )
-    return state, params
+
+
+def init(
+    initial_state: VelocityState,
+    state_cov: jax.Array,
+    model: dyn.UWVParameters,
+) -> tuple[VelocityUKFState, VelocityUKFParams]:
+    """Construct filter state + params — the reference ctor
+    (``VelocityUKF.cpp:49-56``) fused with ``setupMotionModel``
+    (``VelocityUKF.cpp:58-77``)."""
+    dtype = initial_state.velocity.dtype
+    params = VelocityUKFParams(model=model, process_noise=default_process_noise(dtype))
+    return initial_filter_state(initial_state, state_cov), params
 
 
 def _process_motion_model(
@@ -213,17 +217,32 @@ class VelocityUKF:
     pure functions above (which is what batched/sharded deployments use)."""
 
     def __init__(self, initial_state: VelocityState, state_cov):
-        self._initial = (initial_state, jnp.asarray(state_cov))
-        self.state: Optional[VelocityUKFState] = None
+        # the filter is live from construction (reference ctor,
+        # VelocityUKF.cpp:49-56); only PREDICTION needs the motion model
+        self.state: VelocityUKFState = initial_filter_state(
+            initial_state, jnp.asarray(state_cov)
+        )
         self.params: Optional[VelocityUKFParams] = None
 
     def setup_motion_model(self, model: dyn.UWVParameters) -> bool:
-        self.state, self.params = init(self._initial[0], self._initial[1], model)
+        """Set or swap the vehicle model (``VelocityUKF.cpp:58-77``) —
+        PRESERVES the current estimate and input caches; the orientation
+        tracker's velocity is re-seeded from the current mean, as the
+        reference seeds it from ``getCurrentState``."""
+        dtype = self.state.mu.velocity.dtype
+        self.params = VelocityUKFParams(
+            model=model, process_noise=default_process_noise(dtype)
+        )
+        self.state = self.state._replace(
+            model_state=self.state.model_state._replace(
+                linear_velocity=self.state.mu.velocity
+            )
+        )
         return True
 
     def _require_model(self):
         # mirrors the reference's runtime error (VelocityUKF.cpp:117-118)
-        if self.state is None:
+        if self.params is None:
             raise RuntimeError("Motion model is not initialized!")
 
     def prediction_step(self, dt: float) -> None:
@@ -237,25 +256,21 @@ class VelocityUKF:
         self.params = self.params._replace(process_noise=jnp.asarray(q))
 
     def integrate_dvl_measurement(self, mu, cov) -> ukf.UpdateInfo:
-        self._require_model()
         check_measurement(mu, cov)
         self.state, info = update_dvl(self.state, jnp.asarray(mu), jnp.asarray(cov))
         return info
 
     def integrate_pressure_measurement(self, mu, cov) -> ukf.UpdateInfo:
-        self._require_model()
         check_measurement(mu, cov)
         self.state, info = update_pressure(self.state, jnp.asarray(mu), jnp.asarray(cov))
         return info
 
     def integrate_gyro_measurement(self, mu, cov=None) -> None:
-        self._require_model()
         if cov is not None:
             check_measurement(mu, cov)
         self.state = integrate_gyro(self.state, jnp.asarray(mu))
 
     def integrate_body_efforts(self, mu, cov=None) -> None:
-        self._require_model()
         if cov is not None:
             check_measurement(mu, cov)
         self.state = integrate_body_efforts(self.state, jnp.asarray(mu))
@@ -263,10 +278,8 @@ class VelocityUKF:
     # reference getCurrentState equivalent
     @property
     def mu(self) -> VelocityState:
-        self._require_model()
         return self.state.mu
 
     @property
     def sigma(self) -> jax.Array:
-        self._require_model()
         return self.state.cov

@@ -49,7 +49,7 @@ _GAMMA_E = 9.7803253359  # gravity at the equator [m/s²]
 _SOMIG_K = 1.931852652458e-3
 _FREE_AIR = 3.0877e-6  # free-air gradient [s⁻²]
 _FREE_AIR_LAT = 4.4e-9  # latitude correction of the gradient [s⁻²]
-_FREE_AIR_H2 = 7.2e-14  # second-order altitude term [1/(m·s²)]
+_FREE_AIR_H2 = 7.2115e-13  # second-order altitude term 3γₑ/a² [1/(m²·s²)]
 
 
 def wgs84_gravity(latitude: jax.Array, altitude: jax.Array = 0.0) -> jax.Array:

@@ -25,11 +25,11 @@ __all__ = ["cholesky_unrolled", "solve_spd", "UNROLL_LIMIT"]
 UNROLL_LIMIT = 8  # beyond this, fall back to library kernels
 
 
-def cholesky_unrolled(S: jax.Array) -> jax.Array:
-    """Lower Cholesky factor of a static-size SPD matrix, fully unrolled.
-
-    Cholesky–Crout over scalars; for m ≤ 8 this emits O(m³/6) fused FMAs.
-    """
+def _scalar_cholesky_factors(S: jax.Array):
+    """Scalar lower-triangular factor grid L[i][j] (i ≥ j) of a static-size
+    SPD matrix, Cholesky–Crout fully unrolled — the single definition shared
+    by :func:`cholesky_unrolled` and :func:`solve_spd` (keeping two copies of
+    this numerically delicate loop in sync was a maintenance hazard)."""
     m = S.shape[-1]
     L = [[None] * m for _ in range(m)]
     for j in range(m):
@@ -44,6 +44,16 @@ def cholesky_unrolled(S: jax.Array) -> jax.Array:
             for k in range(j):
                 t = t - L[i][k] * L[j][k]
             L[i][j] = t * inv_d
+    return L
+
+
+def cholesky_unrolled(S: jax.Array) -> jax.Array:
+    """Lower Cholesky factor of a static-size SPD matrix, fully unrolled.
+
+    Cholesky–Crout over scalars; for m ≤ 8 this emits O(m³/6) fused FMAs.
+    """
+    m = S.shape[-1]
+    L = _scalar_cholesky_factors(S)
     rows = [
         jnp.stack([L[i][j] if j <= i else jnp.zeros_like(L[i][i]) for j in range(m)], axis=-1)
         for i in range(m)
@@ -54,19 +64,7 @@ def cholesky_unrolled(S: jax.Array) -> jax.Array:
 def _solve_spd_unrolled(S: jax.Array, B: jax.Array) -> jax.Array:
     """x = S⁻¹B for SPD S (m,m), B (m, ...), unrolled Cholesky + substitutions."""
     m = S.shape[-1]
-    L = [[None] * m for _ in range(m)]
-    for j in range(m):
-        s = S[j, j]
-        for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        d = jnp.sqrt(s)
-        L[j][j] = d
-        inv_d = 1.0 / d
-        for i in range(j + 1, m):
-            t = S[i, j]
-            for k in range(j):
-                t = t - L[i][k] * L[j][k]
-            L[i][j] = t * inv_d
+    L = _scalar_cholesky_factors(S)
     inv_diag = [1.0 / L[i][i] for i in range(m)]
     # forward substitution: L y = B
     y = [None] * m

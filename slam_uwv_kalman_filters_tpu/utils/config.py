@@ -47,10 +47,6 @@ __all__ = [
 ]
 
 
-def _v3(*xs) -> tuple:
-    return tuple(float(x) for x in (xs if len(xs) == 3 else xs[0]))
-
-
 @dataclass(frozen=True)
 class WaterVelocityParameters:
     """``PoseUKFConfig.hpp:20-48``."""
@@ -236,22 +232,6 @@ def config_to_dict(cfg) -> dict:
         return obj
 
     return conv(cfg)
-
-
-def _build(cls, data):
-    kwargs = {}
-    for f in dataclasses.fields(cls):
-        if f.name not in data:
-            continue
-        v = data[f.name]
-        t = f.type if isinstance(f.type, type) else None
-        if dataclasses.is_dataclass(t):
-            kwargs[f.name] = _build(t, v)
-        elif isinstance(v, list):
-            kwargs[f.name] = tuple(tuple(x) if isinstance(x, list) else x for x in v)
-        else:
-            kwargs[f.name] = v
-    return cls(**kwargs)
 
 
 _NESTED = {

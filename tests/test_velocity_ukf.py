@@ -172,3 +172,35 @@ def test_bank_consistency_vmap_equals_solo():
             np.asarray(bank.mu.velocity[i]), np.asarray(solo.mu.velocity), atol=1e-12
         )
         np.testing.assert_allclose(np.asarray(bank.cov[i]), np.asarray(solo.cov), atol=1e-12)
+
+
+def test_setup_motion_model_preserves_estimate():
+    """Reference semantics: updates are accepted BEFORE setupMotionModel
+    (VelocityUKF.cpp:79-112 — only prediction throws), and swapping the
+    vehicle model preserves the converged estimate (setupMotionModel seeds
+    the tracker from getCurrentState, it does not reset the filter)."""
+    mu = vukf.VelocityState(velocity=jnp.zeros(3), z_position=jnp.zeros(1))
+    f = vukf.VelocityUKF(mu, jnp.eye(4) * 0.1)
+    # DVL update before any motion model: accepted, pulls the velocity
+    f.integrate_dvl_measurement(np.array([0.4, 0.0, 0.0]), np.eye(3) * 1e-4)
+    assert float(f.mu.velocity[0]) > 0.3
+    with pytest.raises(RuntimeError, match="Motion model"):
+        f.prediction_step(0.1)
+
+    f.setup_motion_model(dyn.default_uwv_parameters())
+    f.integrate_body_efforts(np.array([50.0, 0, 0, 0, 0, 0]))
+    f.prediction_step(0.1)
+    vel_before = np.asarray(f.mu.velocity)
+    cov_before = np.asarray(f.sigma)
+
+    # swapping the model keeps the estimate; the tracker re-seeds from it
+    heavier = dyn.default_uwv_parameters()
+    heavier = heavier._replace(inertia_matrix=heavier.inertia_matrix * 2.0)
+    f.setup_motion_model(heavier)
+    np.testing.assert_array_equal(np.asarray(f.mu.velocity), vel_before)
+    np.testing.assert_array_equal(np.asarray(f.sigma), cov_before)
+    np.testing.assert_array_equal(
+        np.asarray(f.state.model_state.linear_velocity), vel_before
+    )
+    f.prediction_step(0.1)  # still operational with the new model
+    assert np.all(np.isfinite(np.asarray(f.sigma)))
