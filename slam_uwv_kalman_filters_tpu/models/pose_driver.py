@@ -89,7 +89,15 @@ def make_inputs(
     def fill(x, shape, default=0.0):
         if x is None:
             return jnp.full((n, *shape), default, dtype)
-        return jnp.asarray(x, dtype)
+        x = jnp.asarray(x, dtype)
+        if x.ndim == len(shape):  # one constant value → every tick
+            return jnp.broadcast_to(x, (n, *shape))
+        if x.shape != (n, *shape):
+            raise ValueError(
+                f"sensor stream has shape {x.shape}; expected {(n, *shape)} "
+                f"(per tick) or {tuple(shape)} (constant)"
+            )
+        return x
 
     def fill_cov(x, d):
         if x is None:
@@ -100,7 +108,8 @@ def make_inputs(
     def flag(v, provided):
         if v is None:
             return jnp.full((n,), bool(provided))
-        return jnp.asarray(v, bool)
+        v = jnp.asarray(v, bool)
+        return jnp.broadcast_to(v, (n,)) if v.ndim == 0 else v
 
     return PoseInputs(
         dt=jnp.full((n,), dt, dtype),
@@ -142,7 +151,9 @@ class TickOutput(NamedTuple):
 def _masked_update(state, valid, update_fn, *args):
     """Apply an update only where ``valid``; returns (state, info) so gated
     sensors stay observable (``info`` fields are only meaningful under
-    ``valid`` — mask them at use sites)."""
+    ``valid`` — mask them at use sites). Rank-agnostic via
+    ``bank.select_where``: serves both the solo path (scalar mask) and the
+    bank path ((B,) mask)."""
     new_state, info = update_fn(*args)
     return select_where(valid, new_state, state), info
 
@@ -214,14 +225,6 @@ def run_trajectory(
     return jax.lax.scan(lambda s, i: pose_step(s, params, i), state, inputs)
 
 
-def _masked_bank(bstate, valid, update_fn, *args):
-    """Bank-level masked update (rank-agnostic via bank.select_where — the
-    update leaves rotation_rate untouched, so selecting the whole state is a
-    no-op on it). Returns (state, info)."""
-    new_state, info = update_fn(*args)
-    return select_where(valid, new_state, bstate), info
-
-
 def pose_step_bank(
     bstate: pukf.PoseUKFState, params: pukf.PoseUKFParams, inp: PoseInputs
 ) -> tuple[pukf.PoseUKFState, TickOutput]:
@@ -229,28 +232,38 @@ def pose_step_bank(
     phase is one fused Pallas launch over the whole bank on the TPU f32 path
     (``pukf.predict_bank`` / ``pukf.update_*_bank``). ``inp`` carries a
     leading bank axis on every leaf (per-vehicle sensor streams)."""
+    banked = params.process_noise.ndim == 3  # per-instance (Monte-Carlo) params
     bstate = bstate._replace(rotation_rate=inp.rotation_rate)
     bstate = pukf.predict_bank(bstate, params, inp.dt[0])
 
-    bstate, _ = _masked_bank(
+    bstate, _ = _masked_update(
         bstate, inp.acc_valid, pukf.update_acceleration_bank, bstate, params, inp.acc, inp.acc_cov
     )
-    bstate, dvl_info = _masked_bank(
+    bstate, dvl_info = _masked_update(
         bstate, inp.dvl_valid, pukf.update_velocity_bank, bstate, params, inp.dvl, inp.dvl_cov
     )
-    bstate, _ = _masked_bank(
-        bstate,
-        inp.pressure_valid,
-        pukf.update_pressure_bank,
-        bstate,
-        params,
-        inp.pressure,
-        inp.pressure_cov,
-    )
-    bstate, _ = _masked_bank(
+    if banked:
+        # the pressure model reads params.atmospheric_pressure, so the
+        # shared-params bank entry rejects sweeps — vmap the per-instance
+        # update over (state, params) instead
+        pres_state, _ = jax.vmap(
+            lambda s, p, z, r: pukf.update_pressure(s, p, z, r)
+        )(bstate, params, inp.pressure, inp.pressure_cov)
+        bstate = select_where(inp.pressure_valid, pres_state, bstate)
+    else:
+        bstate, _ = _masked_update(
+            bstate,
+            inp.pressure_valid,
+            pukf.update_pressure_bank,
+            bstate,
+            params,
+            inp.pressure,
+            inp.pressure_cov,
+        )
+    bstate, _ = _masked_update(
         bstate, inp.xy_valid, pukf.update_xy_position_bank, bstate, params, inp.xy, inp.xy_cov
     )
-    bstate, adcp_info = _masked_bank(
+    bstate, adcp_info = _masked_update(
         bstate,
         inp.adcp_valid,
         pukf.update_water_velocity_bank,
@@ -260,11 +273,19 @@ def pose_step_bank(
         inp.adcp_cov,
         inp.adcp_cell_weighting[0],
     )
-    # body efforts need the per-instance compensated body rate -- generic path
-    def _efforts_one(s, z, r):
-        s2, _ = pukf.update_body_efforts(s, params, z, r)
+    # body efforts need the per-instance compensated body rate -- generic
+    # path; with a banked (Monte-Carlo sweep) parameter set the params must
+    # be vmapped alongside the state, not closed over as (B,...)-constants
+    def _efforts_one(s, p, z, r):
+        s2, _ = pukf.update_body_efforts(s, p, z, r)
         return s2
-    eff_state = jax.vmap(_efforts_one)(bstate, inp.efforts, inp.efforts_cov)
+
+    if banked:
+        eff_state = jax.vmap(_efforts_one)(bstate, params, inp.efforts, inp.efforts_cov)
+    else:
+        eff_state = jax.vmap(lambda s, z, r: _efforts_one(s, params, z, r))(
+            bstate, inp.efforts, inp.efforts_cov
+        )
     bstate = select_where(inp.efforts_valid, eff_state, bstate)
     out = TickOutput(
         position=bstate.mu.position,

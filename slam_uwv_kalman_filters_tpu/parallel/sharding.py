@@ -54,18 +54,50 @@ def init_multihost(
     with ``jax.process_index()``. Returns the process index. Idempotent."""
     if getattr(jax.distributed, "is_initialized", lambda: False)():
         return jax.process_index()
-    explicit = coordinator_address is not None or num_processes is not None
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
     except (ValueError, RuntimeError):
-        if explicit:
-            # a requested multi-host bootstrap that fails must fail LOUDLY:
-            # silently continuing would leave each host computing an
-            # independent full bank with locally-correct-looking results
+        # a failed bootstrap on a REAL pod must fail LOUDLY: silently
+        # continuing leaves each host computing an independent full bank with
+        # locally-correct-looking results (all reporting process_index 0, so
+        # sharded checkpoints on shared storage overwrite each other)
+        if explicit or _env_is_multihost():
             raise
-        # no coordinator detectable and none requested — a 1-host "pod"
-        pass
+        # nothing requested and the environment shows a single worker — a
+        # 1-host "pod"; single-process jax needs no process group
+        import warnings
+
+        warnings.warn(
+            "jax.distributed.initialize failed and no multi-host environment "
+            "was detected; continuing single-process. Pass coordinator_address/"
+            "num_processes/process_id explicitly if this IS a multi-host job.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return jax.process_index()
+
+
+def _env_is_multihost() -> bool:
+    """Cloud TPU environment markers of a >1-worker slice (what jax's cluster
+    auto-detection keys on) — if any says multiple workers, a bootstrap
+    failure is a real error, never a benign single-host case."""
+    import os
+
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hostnames.split(",") if h.strip()]) > 1:
+        return True
+    for var in ("MEGASCALE_NUM_SLICES", "NUM_TPU_SLICES"):
+        try:
+            if int(os.environ.get(var, "1")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = BANK_AXIS) -> Mesh:

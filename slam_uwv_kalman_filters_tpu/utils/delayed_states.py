@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["DelayedStates", "make_buffer", "push", "closest", "from_seconds", "ticks_per_second"]
 
@@ -41,9 +42,22 @@ def ticks_per_second() -> int:
 
 def from_seconds(seconds) -> jax.Array:
     """``DelayedStates::fromSeconds`` — seconds → integer timestamp ticks
-    (see module docstring for the tick unit)."""
-    f = jax.dtypes.canonicalize_dtype(jnp.float64)
-    return jnp.asarray(jnp.round(jnp.asarray(seconds, f) * ticks_per_second()), _ts_dtype())
+    (see module docstring for the tick unit).
+
+    Concrete host values (python floats, numpy, non-traced arrays) convert in
+    float64 regardless of the x64 flag — under x32, routing the product
+    through float32 loses millisecond exactness past ~4.6 h of mission time
+    (s·1000 exceeds float32's 2²⁴ exact-integer range) and drifts to ±121 ms
+    near the ~24-day wraparound horizon. Traced values split whole/fractional
+    seconds so the ×1000 products stay exact to the input's own resolution."""
+    tps = ticks_per_second()
+    dt = _ts_dtype()
+    if not isinstance(seconds, jax.core.Tracer):
+        ticks = np.round(np.asarray(seconds, np.float64) * tps).astype(np.int64)
+        return jnp.asarray(ticks, dt)
+    s = jnp.asarray(seconds)
+    whole = jnp.floor(s)
+    return jnp.asarray(whole, dt) * tps + jnp.asarray(jnp.round((s - whole) * tps), dt)
 
 
 class DelayedStates(NamedTuple):

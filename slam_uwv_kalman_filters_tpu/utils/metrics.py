@@ -39,9 +39,17 @@ def nees(error: jax.Array, cov: jax.Array) -> jax.Array:
 
 
 def covariance_condition(cov: jax.Array) -> jax.Array:
-    """Condition number via eigvalsh — divergence early-warning."""
+    """Condition number via eigvalsh — divergence early-warning.
+
+    A collapsed covariance (smallest |eigenvalue| exactly 0) reports ``inf``,
+    not NaN: the guard divisor must be representable in the working dtype (a
+    1e-300 literal underflows to 0.0 in float32, turning the flagged case
+    into 0/0 on the TPU f32 path)."""
     w = jnp.linalg.eigvalsh(cov)
-    return jnp.abs(w[..., -1]) / jnp.maximum(jnp.abs(w[..., 0]), 1e-300)
+    num = jnp.abs(w[..., -1])
+    den = jnp.abs(w[..., 0])
+    tiny = jnp.asarray(jnp.finfo(w.dtype).tiny, w.dtype)
+    return jnp.where(den > 0, num / jnp.maximum(den, tiny), jnp.inf)
 
 
 def ate_rmse(estimated: jax.Array, truth: jax.Array) -> jax.Array:

@@ -21,13 +21,32 @@ __all__ = ["trace", "Throughput", "annotate"]
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, *, host_tracer_level: int = 2) -> Iterator[None]:
+def trace(log_dir: str, *, host_tracer_level: int | None = None) -> Iterator[None]:
     """Capture a TensorBoard-viewable device trace of the enclosed block:
 
         with tracing.trace("/tmp/tb"):
             bank_step(state).block_until_ready()
+
+    ``host_tracer_level`` (0-3) sets host-side trace verbosity via
+    ``jax.profiler.ProfileOptions``; ``None`` keeps the profiler default.
     """
-    with jax.profiler.trace(log_dir):
+    kwargs = {}
+    if host_tracer_level is not None:
+        opts_cls = getattr(jax.profiler, "ProfileOptions", None)
+        if opts_cls is None:  # pragma: no cover — older jax
+            import warnings
+
+            warnings.warn(
+                "host_tracer_level ignored: this jax has no "
+                "jax.profiler.ProfileOptions",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        else:
+            opts = opts_cls()
+            opts.host_tracer_level = host_tracer_level
+            kwargs["profiler_options"] = opts
+    with jax.profiler.trace(log_dir, **kwargs):
         yield
 
 

@@ -39,8 +39,18 @@ def measurement_valid(mu, cov) -> jnp.ndarray:
 
     Use as an additional gate mask in batched update paths (invalid ⇒ the
     masked update leaves the instance untouched, the batch equivalent of the
-    reference's exception).
-    """
-    ok = jnp.all(jnp.isfinite(mu)) & jnp.all(jnp.isfinite(cov))
-    diag = jnp.diagonal(cov) if cov.ndim == 2 else cov
-    return ok & jnp.all(diag >= 0)
+    reference's exception). Rank-aware: a ``(d,)``/``(d,d)`` measurement
+    yields a scalar mask; a batched ``(B,d)``/``(B,d,d)`` bank yields a
+    ``(B,)`` per-instance mask, and only the DIAGONAL of a covariance matrix
+    must be non-negative (off-diagonal correlations may be negative)."""
+    mu = jnp.asarray(mu)
+    cov = jnp.asarray(cov)
+    ok_mu = jnp.all(jnp.isfinite(mu), axis=-1) if mu.ndim else jnp.isfinite(mu)
+    if cov.ndim >= 2 and cov.shape[-1] == cov.shape[-2]:
+        diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
+        ok_cov = jnp.all(jnp.isfinite(cov), axis=(-2, -1)) & jnp.all(diag >= 0, axis=-1)
+    elif cov.ndim:  # variance vector
+        ok_cov = jnp.all(jnp.isfinite(cov) & (cov >= 0), axis=-1)
+    else:
+        ok_cov = jnp.isfinite(cov) & (cov >= 0)
+    return ok_mu & ok_cov

@@ -174,3 +174,76 @@ def test_bank_shard_map_runs_step_per_device():
     out_ref = step(bstate)
     np.testing.assert_allclose(np.asarray(out_sharded.cov), np.asarray(out_ref.cov), atol=1e-12)
     assert len(out_sharded.cov.sharding.device_set) == len(jax.devices())
+
+
+def test_save_sharded_scalar_and_replicated_leaves(tmp_path):
+    """save_sharded must handle rank-0 leaves (ring-buffer heads, counters)
+    and keep replicated leaves single-copy (regression: 0-d leaves crashed
+    the concatenate; a replicated leaf on k local devices was saved k×)."""
+    mesh = sharding.make_mesh()
+    tree = {
+        "bank": jax.device_put(jnp.arange(32.0).reshape(16, 2), sharding.bank_sharding(mesh)),
+        "params": jax.device_put(jnp.eye(3), sharding.replicated(mesh)),  # 8 shards, same data
+        "head": jax.device_put(jnp.asarray(7, jnp.int32), sharding.replicated(mesh)),
+    }
+    checkpoint.save_sharded(tmp_path / "t.msgpack", tree)
+    host_template = {
+        "bank": np.zeros((16, 2)),
+        "params": np.zeros((3, 3)),
+        "head": np.zeros((), np.int32),
+    }
+    restored = checkpoint.restore_sharded(tmp_path / "t.msgpack", host_template)
+    np.testing.assert_array_equal(restored["bank"], np.arange(32.0).reshape(16, 2))
+    np.testing.assert_array_equal(restored["params"], np.eye(3))  # NOT (24, 3)
+    assert restored["head"] == 7
+
+
+def test_restore_sharded_place_and_shape_validation(tmp_path):
+    """place=True re-assembles leaves onto the template's sharding; a
+    template with the wrong bank size fails loudly (regression: mismatched
+    shards were adopted silently)."""
+    import pytest
+
+    mesh = sharding.make_mesh()
+    bank_arr = jax.device_put(
+        jnp.arange(64.0).reshape(32, 2), sharding.bank_sharding(mesh)
+    )
+    checkpoint.save_sharded(tmp_path / "b.msgpack", {"bank": bank_arr})
+
+    placed = checkpoint.restore_sharded(
+        tmp_path / "b.msgpack", {"bank": jnp.zeros_like(bank_arr)}, place=True
+    )
+    assert placed["bank"].sharding == bank_arr.sharding
+    np.testing.assert_array_equal(np.asarray(placed["bank"]), np.asarray(bank_arr))
+
+    wrong = {"bank": np.zeros((16, 2))}
+    with pytest.raises(ValueError, match="local shape"):
+        checkpoint.restore_sharded(tmp_path / "b.msgpack", wrong)
+
+
+def test_init_multihost_failure_handling(monkeypatch):
+    """A failed bootstrap raises when the request was explicit (incl.
+    process_id alone) or the environment shows a real pod; otherwise it warns
+    and proceeds single-process (regression: silent each-host-its-own-bank)."""
+    import warnings
+
+    import pytest
+
+    from slam_uwv_kalman_filters_tpu.parallel import sharding as shmod
+
+    def boom(*a, **k):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False, raising=False)
+
+    with pytest.raises(RuntimeError):
+        shmod.init_multihost(process_id=0)  # explicit → loud
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "worker-0,worker-1")
+    with pytest.raises(RuntimeError):
+        shmod.init_multihost()  # pod environment → loud
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert shmod.init_multihost() == 0  # genuine single host → proceed
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)

@@ -270,3 +270,88 @@ def test_pose_step_bank_matches_vmap_pose_step():
     np.testing.assert_allclose(
         np.asarray(out_bank.mu.position), np.asarray(out_ref.mu.position), atol=1e-12
     )
+
+
+def test_make_inputs_constant_vectors():
+    """Constant per-tick values tile across the schedule like constant
+    covariances always did (regression: a (3,) constant rotation_rate was
+    passed through untiled and broke the scan with a shape error)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from slam_uwv_kalman_filters_tpu.models import pose_driver as drv
+
+    n = 5
+    inp = drv.make_inputs(
+        n, 0.01, (0.0, 0.0, 0.1),
+        dvl=(0.3, 0.0, 0.0), dvl_cov=jnp.eye(3) * 1e-3,
+        adcp=(0.1, 0.0), adcp_cov=jnp.eye(2) * 1e-2,
+        adcp_cell_weighting=0.7, adcp_valid=True,
+    )
+    assert inp.rotation_rate.shape == (n, 3)
+    np.testing.assert_array_equal(np.asarray(inp.rotation_rate[3]), [0.0, 0.0, 0.1])
+    assert inp.dvl.shape == (n, 3) and inp.adcp.shape == (n, 2)
+    assert inp.adcp_cell_weighting.shape == (n,)
+    np.testing.assert_array_equal(np.asarray(inp.adcp_valid), [True] * n)
+    # a wrong-length stream still fails loudly
+    with pytest.raises(ValueError, match="expected"):
+        drv.make_inputs(n, 0.01, np.zeros((n + 1, 3)))
+
+
+def test_pose_step_bank_banked_params():
+    """Bank tick with a per-instance (Monte-Carlo sweep) parameter set must
+    equal vmap of the per-instance tick over (state, params) — regression:
+    the body-efforts tail closed over the banked params as constants and
+    crashed; the pressure phase rejected banked params outright."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from slam_uwv_kalman_filters_tpu.models import pose_driver, pose_ukf as pukf
+    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
+    from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
+
+    rng = np.random.default_rng(11)
+    n = 3
+    state, params = pukf.init_from_pose(
+        imu_in_nwu_pos=jnp.zeros(3),
+        imu_in_nwu_pos_cov=jnp.eye(3) * 0.04,
+        imu_in_nwu_rot=jnp.array([1.0, 0, 0, 0]),
+        imu_in_nwu_rot_cov=jnp.eye(3) * 1e-4,
+        config=default_pose_ukf_config(),
+        model_parameters=dyn.default_uwv_parameters(),
+        imu_delta_t=0.01,
+    )
+    bstate = bankmod.replicate(state, n)
+    bstate = bstate._replace(
+        mu=bstate.mu._replace(velocity=jnp.asarray(rng.normal(scale=0.2, size=(n, 3))))
+    )
+    scales = jnp.asarray([0.5, 1.0, 2.0])
+    pbank = jax.vmap(
+        lambda s: params._replace(
+            process_noise=params.process_noise * s,
+            gyro_bias_tau=params.gyro_bias_tau * s,
+        )
+    )(scales)
+
+    inp = pose_driver.make_inputs(
+        1, 0.05, rng.normal(scale=0.02, size=(1, 3)),
+        dvl=rng.normal(scale=0.2, size=(1, 3)), dvl_cov=jnp.eye(3) * 1e-3,
+        pressure=np.full((1, 1), 101325.0 + 2e5), pressure_cov=jnp.eye(1) * 2500.0,
+        efforts=rng.normal(scale=1.0, size=(1, 6)), efforts_cov=jnp.eye(6) * 1e-1,
+    )
+    # broadcast the single tick across the bank axis
+    inp_bank = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[0], (n,) + a.shape[1:]), inp
+    )
+
+    out_bank, _ = pose_driver.pose_step_bank(bstate, pbank, inp_bank)
+    out_ref, _ = jax.vmap(pose_driver.pose_step)(bstate, pbank, inp_bank)
+    np.testing.assert_allclose(np.asarray(out_bank.cov), np.asarray(out_ref.cov), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(out_bank.mu.velocity), np.asarray(out_ref.mu.velocity), atol=1e-12
+    )
+    # the sweep axis actually differentiates the instances
+    assert not np.allclose(np.asarray(out_bank.cov[0]), np.asarray(out_bank.cov[2]))

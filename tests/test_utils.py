@@ -166,3 +166,61 @@ def test_delayed_buffer_without_x64():
         _, _, found_far = ds.closest(buf, ds.from_seconds(5.0))
         assert not bool(found_far)
     assert ds.ticks_per_second() == 1_000_000  # restored with x64
+
+
+def test_from_seconds_ms_exact_without_x64():
+    """x32 path: concrete host values must convert in f64, not through f32
+    (regression: s*1000 through float32 drifted ±121 ms near the ~24-day
+    int32-ms wraparound horizon, breaking closest() matching)."""
+    with jax.enable_x64(False):
+        for days in (0.5, 5.0, 20.0):
+            s = days * 86400.0 + 0.123
+            t = int(ds.from_seconds(s))
+            assert t == round(s * 1000), f"{days} days: {t} != {round(s*1000)}"
+        # traced path: whole/frac split keeps the product exact to the
+        # input's own f32 resolution (exact for sub-2^24-s whole seconds)
+        t2 = int(jax.jit(ds.from_seconds)(jnp.float32(16000.25)))
+        assert t2 == 16000250
+
+
+def test_measurement_valid_batched_rank_aware():
+    """(B,d,d) covariance banks: only the DIAGONAL must be non-negative, and
+    the mask is per-instance (regression: negative off-diagonal correlations
+    invalidated the whole bank)."""
+    from slam_uwv_kalman_filters_tpu.utils import validation
+
+    cov = jnp.tile(jnp.array([[1.0, -0.5], [-0.5, 1.0]])[None], (3, 1, 1))
+    mu = jnp.zeros((3, 2))
+    mask = validation.measurement_valid(mu, cov)
+    assert mask.shape == (3,)
+    assert bool(mask.all()), "negative off-diagonals are legitimate"
+    # one bad instance (NaN mean) → only that instance masked
+    mu_bad = mu.at[1, 0].set(jnp.nan)
+    mask2 = validation.measurement_valid(mu_bad, cov)
+    np.testing.assert_array_equal(np.asarray(mask2), [True, False, True])
+    # negative variance → invalid; scalar API unchanged
+    cov_bad = cov.at[2, 0, 0].set(-1.0)
+    np.testing.assert_array_equal(
+        np.asarray(validation.measurement_valid(mu, cov_bad)), [True, True, False]
+    )
+    assert bool(validation.measurement_valid(jnp.zeros(2), jnp.eye(2)))
+    assert not bool(validation.measurement_valid(jnp.zeros(2), -jnp.eye(2)))
+
+
+def test_covariance_condition_degenerate_f32():
+    """A collapsed covariance reports inf, never NaN (regression: the 1e-300
+    guard underflowed to 0.0 in float32 → 0/0 on the TPU deployment path)."""
+    c = metrics.covariance_condition(jnp.zeros((3, 3), jnp.float32))
+    assert np.isinf(float(c)) and not np.isnan(float(c))
+    c2 = metrics.covariance_condition(jnp.diag(jnp.array([1.0, 4.0], jnp.float32)))
+    np.testing.assert_allclose(float(c2), 4.0)
+
+
+def test_trace_host_tracer_level(tmp_path):
+    """host_tracer_level must actually reach the profiler (regression: the
+    kwarg was accepted and silently dropped)."""
+    from slam_uwv_kalman_filters_tpu.utils import tracing
+
+    with tracing.trace(str(tmp_path), host_tracer_level=1):
+        jax.block_until_ready(jnp.ones(8) * 2.0)
+    assert any(tmp_path.rglob("*")), "no trace output written"
