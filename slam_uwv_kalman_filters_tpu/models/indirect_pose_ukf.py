@@ -210,7 +210,8 @@ def update_markers(
     """Visual-marker update with state augmentation
     (``IndirectPoseUKF.cpp:94-135``): augment with the marker pose (12-DOF
     fixed-shape filter), apply one S² update per feature, marginalize back.
-    Returns the info of the last feature update."""
+    Returns the per-feature ``UpdateInfo`` stacked along a leading (K,) axis
+    so an outlier corner stays visible in the NIS record."""
     k = marker_features.shape[0]
     if k == 0:
         raise ValueError("update_markers needs at least one feature")
@@ -232,7 +233,7 @@ def update_markers(
     aug_cov = aug_cov.at[:6, :6].set(state.cov)
     aug_cov = aug_cov.at[6:, 6:].set(cov_marker_pose)
 
-    info = None
+    infos = []
     for i in range(k):  # K is static (typically 4 corners) — unrolled under jit
         z = pixel_to_s2(marker_features[i], camera)
         r = pixel_cov_to_s2(feature_covs[i], camera)
@@ -250,12 +251,14 @@ def update_markers(
         aug_mu, aug_cov, info = ukf.update(
             MARKER_MANIFOLD, aug_mu, aug_cov, z, h, r, meas_manifold=mf.S2_MANIFOLD
         )
+        infos.append(info)
 
     # marginalize the marker block back out (IndirectPoseUKF.cpp:134)
     new_mu = PoseErrorState(
         position_error=aug_mu.position_error, orientation_error=aug_mu.orientation_error
     )
-    return state._replace(mu=new_mu, cov=aug_cov[:6, :6]), info
+    info_all = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *infos)
+    return state._replace(mu=new_mu, cov=aug_cov[:6, :6]), info_all
 
 
 def update_pose_reference(

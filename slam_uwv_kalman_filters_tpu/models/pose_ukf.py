@@ -499,7 +499,9 @@ def assemble_process_noise(mu: PoseState, params: PoseUKFParams, dt) -> jax.Arra
     wv_extra = params.water_velocity_scale * jnp.dot(scaled_velocity, scaled_velocity) * dt
     wv_mask = _diag_mask(("water_velocity", "water_velocity_below"), q0.dtype)
 
-    return dt**2 * (q0 * ori_zero + ori_new + wv_extra * wv_mask)
+    # pin Q to the configured process-noise dtype: float64 scalar params (e.g.
+    # water_velocity_scale) must not promote an f32 filter's covariance
+    return (dt**2 * (q0 * ori_zero + ori_new + wv_extra * wv_mask)).astype(q0.dtype)
 
 
 def predict(state: PoseUKFState, params: PoseUKFParams, dt) -> PoseUKFState:
@@ -555,7 +557,19 @@ def update_bank(
     TPU f32 shared-params path (``models.pose_update_fused``); generic
     ``vmap(ukf.update)`` otherwise. ``params_independent=True`` declares that
     ``h`` reads no parameters, which makes the update valid for banked
-    (Monte-Carlo sweep) parameter sets too."""
+    (Monte-Carlo sweep) parameter sets too.
+
+    ``deps`` must name every field ``h`` reads: the fused path evaluates ``h``
+    on sigma points whose NON-deps fields are frozen at the mean, so a missing
+    dependency zeroes that cross-covariance column silently on TPU while the
+    generic path stays correct — cover any new model with a fused-vs-generic
+    parity test (``tests/test_pose_fused.py``)."""
+    unknown = set(deps) - set(PoseState._fields)
+    if unknown:
+        raise ValueError(
+            f"deps names unknown PoseState fields: {sorted(unknown)} "
+            f"(valid: {PoseState._fields})"
+        )
     if params.process_noise.ndim == 3 and not params_independent:
         # ``h`` is already closed over the (banked) params, so neither the
         # fused tail nor a state-only vmap can evaluate it per instance —
@@ -593,13 +607,8 @@ def update_bank(
 
 def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     """Bank-level DVL velocity update (``PoseUKF.cpp:117-123,476-482``)."""
-    if use_fused == "auto":
-        use_fused = (
-            bstate.cov.dtype == jnp.float32
-            and bstate.cov.ndim == 3
-            and jax.default_backend() == "tpu"
-        )
-    if use_fused:
+    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    if fused:
         # DVL is the highest-rate sensor: route to the whole-update kernel
         # with the measurement model fused in-kernel (no sigma-delta HBM
         # round trip) instead of the generic deltas → XLA-h → tail pipeline.
@@ -613,7 +622,7 @@ def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
         params,
         z,
         meas_cov,
-        lambda s: mf.quat_rotate_inv(s.orientation, s.velocity),
+        _h_velocity,
         ("orientation", "velocity"),
         use_fused=use_fused,
         params_independent=True,
@@ -643,13 +652,8 @@ def update_acceleration_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
 
         return pose_update_fused.update_model_fused_banked("acceleration", bstate, z, meas_cov)
 
-    def h(s: PoseState):
-        dtype = s.gravity.dtype
-        g_vec = jnp.stack([jnp.zeros((), dtype), jnp.zeros((), dtype), s.gravity[0]])
-        return mf.quat_rotate_inv(s.orientation, s.acceleration + g_vec) + s.bias_acc
-
     return update_bank(
-        bstate, params, z, meas_cov, h,
+        bstate, params, z, meas_cov, _h_acceleration,
         ("orientation", "acceleration", "bias_acc", "gravity"), use_fused=use_fused,
         params_independent=True,
     )
@@ -663,7 +667,7 @@ def update_z_position_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
 
         return pose_update_fused.update_model_fused_banked("z_position", bstate, z, meas_cov)
     return update_bank(
-        bstate, params, z, meas_cov, lambda s: s.position[2:3], ("position",),
+        bstate, params, z, meas_cov, _h_z_position, ("position",),
         use_fused=use_fused, params_independent=True,
     )
 
@@ -679,7 +683,7 @@ def update_xy_position_bank(bstate, params, z, meas_cov, gate_threshold=None, *,
             "xy_position", bstate, z, meas_cov, gate_threshold
         )
     return update_bank(
-        bstate, params, z, meas_cov, lambda s: s.position[:2], ("position",),
+        bstate, params, z, meas_cov, _h_xy_position, ("position",),
         gate_threshold, use_fused=use_fused, params_independent=True,
     )
 
@@ -701,13 +705,8 @@ def update_pressure_bank(bstate, params, z, meas_cov, pressure_sensor_in_imu=Non
             aux=(params.atmospheric_pressure, lever[0], lever[1], lever[2]),
         )
 
-    def h(s: PoseState):
-        sensor_nav = s.position + mf.quat_rotate(s.orientation, lever)
-        p = params.atmospheric_pressure - sensor_nav[2] * s.gravity[0] * s.water_density[0]
-        return p[None]
-
     return update_bank(
-        bstate, params, z, meas_cov, h,
+        bstate, params, z, meas_cov, _h_pressure(params, lever),
         ("position", "orientation", "gravity", "water_density"), use_fused=use_fused,
     )
 
@@ -723,17 +722,8 @@ def update_water_velocity_bank(bstate, params, z, meas_cov, cell_weighting, *, u
             "water_velocity", bstate, z, meas_cov, ukf.D2P95, aux=(cell_weighting,)
         )
 
-    def h(s: PoseState):
-        dtype = s.position.dtype
-        wvb = jnp.stack([s.water_velocity_below[0], s.water_velocity_below[1], jnp.zeros((), dtype)])
-        wvb_meas = mf.quat_rotate_inv(s.orientation, s.velocity - wvb)
-        wv = jnp.stack([s.water_velocity[0], s.water_velocity[1], jnp.zeros((), dtype)])
-        wv_meas = mf.quat_rotate_inv(s.orientation, s.velocity - wv)
-        blended = cell_weighting * wvb_meas[:2] + (1.0 - cell_weighting) * wv_meas[:2]
-        return blended + s.bias_adcp
-
     return update_bank(
-        bstate, params, z, meas_cov, h,
+        bstate, params, z, meas_cov, _h_water_velocity(cell_weighting),
         ("orientation", "velocity", "water_velocity", "water_velocity_below", "bias_adcp"),
         ukf.D2P95, use_fused=use_fused,
         params_independent=True,
@@ -785,15 +775,67 @@ def _apply(state: PoseUKFState, mu, cov, info) -> tuple[PoseUKFState, ukf.Update
     return state._replace(mu=mu, cov=cov), info
 
 
+# Measurement models in XLA form, defined ONCE and shared by the
+# single-instance updates and the *_bank generic paths (the third, in-kernel
+# copies live in models/pose_update_fused.py and are pinned to these by the
+# fused-vs-generic parity tests).
+
+
+def _h_velocity(s: PoseState) -> jax.Array:
+    """``measurementVelocity`` (``PoseUKF.cpp:117-123``): h = R⁻¹·v."""
+    return mf.quat_rotate_inv(s.orientation, s.velocity)
+
+
+def _h_acceleration(s: PoseState) -> jax.Array:
+    """``measurementAcceleration`` (``PoseUKF.cpp:125-131``):
+    R⁻¹(a + [0,0,g]) + b_acc."""
+    dtype = s.gravity.dtype
+    g_vec = jnp.stack([jnp.zeros((), dtype), jnp.zeros((), dtype), s.gravity[0]])
+    return mf.quat_rotate_inv(s.orientation, s.acceleration + g_vec) + s.bias_acc
+
+
+def _h_z_position(s: PoseState) -> jax.Array:
+    """``measurementZPosition`` (``PoseUKF.cpp:100-105``)."""
+    return s.position[2:3]
+
+
+def _h_xy_position(s: PoseState) -> jax.Array:
+    """``measurementXYPosition`` (``PoseUKF.cpp:87-92``)."""
+    return s.position[:2]
+
+
+def _h_pressure(params: PoseUKFParams, lever: jax.Array):
+    """``measurementPressureSensor`` (``PoseUKF.cpp:107-115``):
+    p = p_atm − z_sensor·g·ρ with the sensor lever arm."""
+
+    def h(s: PoseState) -> jax.Array:
+        sensor_nav = s.position + mf.quat_rotate(s.orientation, lever)
+        p = params.atmospheric_pressure - sensor_nav[2] * s.gravity[0] * s.water_density[0]
+        return p[None]
+
+    return h
+
+
+def _h_water_velocity(cell_weighting):
+    """``measurementWaterCurrents`` (``PoseUKF.cpp:133-151``): cell-weighted
+    blend of at-vehicle and below-vehicle currents plus ADCP bias, IMU frame."""
+
+    def h(s: PoseState) -> jax.Array:
+        dtype = s.position.dtype
+        wvb = jnp.stack([s.water_velocity_below[0], s.water_velocity_below[1], jnp.zeros((), dtype)])
+        wvb_meas = mf.quat_rotate_inv(s.orientation, s.velocity - wvb)
+        wv = jnp.stack([s.water_velocity[0], s.water_velocity[1], jnp.zeros((), dtype)])
+        wv_meas = mf.quat_rotate_inv(s.orientation, s.velocity - wv)
+        blended = cell_weighting * wvb_meas[:2] + (1.0 - cell_weighting) * wv_meas[:2]
+        return blended + s.bias_adcp
+
+    return h
+
+
 def update_velocity(state, params, z, meas_cov):
     """DVL velocity in the IMU frame: h = R⁻¹·v (``PoseUKF.cpp:117-123,476-482``)."""
     mu, cov, info = ukf.update(
-        POSE_MANIFOLD,
-        state.mu,
-        state.cov,
-        z,
-        lambda s: mf.quat_rotate_inv(s.orientation, s.velocity),
-        meas_cov,
+        POSE_MANIFOLD, state.mu, state.cov, z, _h_velocity, meas_cov
     )
     return _apply(state, mu, cov, info)
 
@@ -801,12 +843,7 @@ def update_velocity(state, params, z, meas_cov):
 def update_acceleration(state, params, z, meas_cov):
     """Expected IMU specific force: R⁻¹(a + [0,0,g]) + b_acc
     (``PoseUKF.cpp:125-131,484-490``)."""
-
-    def h(s: PoseState):
-        g_vec = jnp.stack([jnp.zeros((), z.dtype), jnp.zeros((), z.dtype), s.gravity[0]])
-        return mf.quat_rotate_inv(s.orientation, s.acceleration + g_vec) + s.bias_acc
-
-    mu, cov, info = ukf.update(POSE_MANIFOLD, state.mu, state.cov, z, h, meas_cov)
+    mu, cov, info = ukf.update(POSE_MANIFOLD, state.mu, state.cov, z, _h_acceleration, meas_cov)
     return _apply(state, mu, cov, info)
 
 
@@ -818,7 +855,7 @@ def integrate_rotation_rate(state: PoseUKFState, z: jax.Array) -> PoseUKFState:
 def update_z_position(state, params, z, meas_cov):
     """Depth update (``PoseUKF.cpp:100-105,498-504``)."""
     mu, cov, info = ukf.update(
-        POSE_MANIFOLD, state.mu, state.cov, z, lambda s: s.position[2:3], meas_cov
+        POSE_MANIFOLD, state.mu, state.cov, z, _h_z_position, meas_cov
     )
     return _apply(state, mu, cov, info)
 
@@ -830,7 +867,7 @@ def update_xy_position(state, params, z, meas_cov, gate_threshold=None):
         state.mu,
         state.cov,
         z,
-        lambda s: s.position[:2],
+        _h_xy_position,
         meas_cov,
         gate_threshold=gate_threshold,
     )
@@ -851,13 +888,9 @@ def update_pressure(state, params, z, meas_cov, pressure_sensor_in_imu=None):
     lever = (
         jnp.zeros(3, z.dtype) if pressure_sensor_in_imu is None else pressure_sensor_in_imu
     )
-
-    def h(s: PoseState):
-        sensor_nav = s.position + mf.quat_rotate(s.orientation, lever)
-        p = params.atmospheric_pressure - sensor_nav[2] * s.gravity[0] * s.water_density[0]
-        return p[None]
-
-    mu, cov, info = ukf.update(POSE_MANIFOLD, state.mu, state.cov, z, h, meas_cov)
+    mu, cov, info = ukf.update(
+        POSE_MANIFOLD, state.mu, state.cov, z, _h_pressure(params, lever), meas_cov
+    )
     return _apply(state, mu, cov, info)
 
 
@@ -950,18 +983,9 @@ def update_water_velocity(state, params, z, meas_cov, cell_weighting):
     """ADCP water-current measurement (``PoseUKF.cpp:133-151,604-611``):
     cell-weighted blend of at-vehicle and below-vehicle currents plus ADCP
     bias, in the IMU frame; χ²-95 gate."""
-
-    def h(s: PoseState):
-        dtype = s.position.dtype
-        wvb = jnp.stack([s.water_velocity_below[0], s.water_velocity_below[1], jnp.zeros((), dtype)])
-        wvb_meas = mf.quat_rotate_inv(s.orientation, s.velocity - wvb)
-        wv = jnp.stack([s.water_velocity[0], s.water_velocity[1], jnp.zeros((), dtype)])
-        wv_meas = mf.quat_rotate_inv(s.orientation, s.velocity - wv)
-        blended = cell_weighting * wvb_meas[:2] + (1.0 - cell_weighting) * wv_meas[:2]
-        return blended + s.bias_adcp
-
     mu, cov, info = ukf.update(
-        POSE_MANIFOLD, state.mu, state.cov, z, h, meas_cov, gate_threshold=ukf.D2P95
+        POSE_MANIFOLD, state.mu, state.cov, z, _h_water_velocity(cell_weighting),
+        meas_cov, gate_threshold=ukf.D2P95,
     )
     return _apply(state, mu, cov, info)
 
@@ -993,7 +1017,11 @@ def update_visual_features(
     """Visual-marker update via 59-DOF state augmentation
     (``PoseUKF.cpp:613-654``): filter ⊕ marker pose, one S² update per corner
     (pixel→bearing via pinhole, covariance scaled by 1/f²), then marginalize
-    the filter block back out. Fixed shapes throughout — jit-safe."""
+    the filter block back out. Fixed shapes throughout — jit-safe.
+
+    Returns the per-corner ``UpdateInfo`` stacked along a leading (K,) axis —
+    an outlier corner (wrong data association) stays visible in the NIS
+    record instead of being shadowed by the last corner's fit."""
     k = marker_features.shape[0]
     if k == 0:
         raise ValueError("update_visual_features needs at least one feature")
@@ -1015,7 +1043,7 @@ def update_visual_features(
     fx, fy, cx, cy = camera.fx, camera.fy, camera.cx, camera.cy
     f_scale = jnp.asarray([[fx * fx, fx * fy], [fx * fy, fy * fy]], dtype=state.cov.dtype)
 
-    info = None
+    infos = []
     for i in range(marker_features.shape[0]):  # static corner count — unrolled
         px = marker_features[i]
         z = mf.s2_normalize(
@@ -1031,9 +1059,11 @@ def update_visual_features(
         aug_mu, aug_cov, info = ukf.update(
             POSE_MARKER_MANIFOLD, aug_mu, aug_cov, z, h, r, meas_manifold=mf.S2_MANIFOLD
         )
+        infos.append(info)
 
     new_mu = PoseState(*aug_mu[:14])
-    return state._replace(mu=new_mu, cov=aug_cov[:53, :53]), info
+    info_all = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *infos)
+    return state._replace(mu=new_mu, cov=aug_cov[:53, :53]), info_all
 
 
 class PoseStateWithDelayedPosition(NamedTuple):
@@ -1196,14 +1226,21 @@ class PoseUKF:
         return obj
 
     def set_process_noise_from_config(self, config, imu_delta_t, imu_in_body_rot=None):
+        # pin Q to the filter's state dtype: a float64 Q on a float32 filter
+        # (e.g. restored from a TPU checkpoint) silently promotes the
+        # covariance on the next predict and drops the bank off the fused path
         self.params = self.params._replace(
-            process_noise=process_noise_from_config(config, imu_delta_t, imu_in_body_rot)
+            process_noise=process_noise_from_config(
+                config, imu_delta_t, imu_in_body_rot, dtype=self.state.cov.dtype
+            )
         )
 
     def set_process_noise_covariance(self, q) -> None:
         """Raw-Q setter of the filter base class (``setProcessNoiseCovariance``,
         called at ``src/PoseUKF.cpp:438``)."""
-        self.params = self.params._replace(process_noise=jnp.asarray(q))
+        self.params = self.params._replace(
+            process_noise=jnp.asarray(q, self.state.cov.dtype)
+        )
 
     def _upd(self, fn, mu, cov, *args, **kw) -> ukf.UpdateInfo:
         check_measurement(mu, cov)

@@ -133,10 +133,13 @@ def predict(
         Y = jax.vmap(f)(X)
     with jax.named_scope("ukf_mean"):
         mu_y = manifold.mean(Y, max_iters=mean_iters, tol=mean_tol)
+        # the state's dtype governs: float64 parameters inside f must not
+        # promote an f32 filter's state/covariance step over step
+        mu_y = jax.tree_util.tree_map(lambda a, ref: a.astype(ref.dtype), mu_y, mu)
     with jax.named_scope("ukf_cov_reconstruct"):
         D = jax.vmap(lambda y: manifold.boxminus(y, mu_y))(Y)  # (2n+1, n)
-        cov_y = 0.5 * _mm(D.T, D) + process_noise
-    return mu_y, _symmetrize(cov_y)
+        cov_y = 0.5 * _mm(D.astype(cov.dtype).T, D.astype(cov.dtype)) + process_noise
+    return mu_y, _symmetrize(cov_y).astype(cov.dtype)
 
 
 def update(
@@ -181,6 +184,10 @@ def update(
         z_mean = meas_manifold.mean(Z, max_iters=mean_iters, tol=mean_tol)
         dZ = jax.vmap(lambda zi: meas_manifold.boxminus(zi, z_mean))(Z)
         innovation = meas_manifold.boxminus(z, z_mean)
+    # pin the update algebra to the state's dtype (h may read f64 params)
+    dZ = dZ.astype(cov.dtype)
+    innovation = innovation.astype(cov.dtype)
+    meas_cov = jnp.asarray(meas_cov, cov.dtype)
 
     S = 0.5 * _mm(dZ.T, dZ) + meas_cov
     S = _symmetrize(S)
@@ -246,8 +253,9 @@ def smooth_step(
     X = jax.vmap(lambda d: manifold.boxplus(mu_f, d))(deltas)
     Y = jax.vmap(f)(X)
     mu_pred = manifold.mean(Y, max_iters=mean_iters, tol=mean_tol)
-    D = jax.vmap(lambda y: manifold.boxminus(y, mu_pred))(Y)
-    cov_pred = _symmetrize(0.5 * _mm(D.T, D) + process_noise)
+    mu_pred = jax.tree_util.tree_map(lambda a, ref: a.astype(ref.dtype), mu_pred, mu_f)
+    D = jax.vmap(lambda y: manifold.boxminus(y, mu_pred))(Y).astype(cov_f.dtype)
+    cov_pred = _symmetrize(0.5 * _mm(D.T, D) + process_noise).astype(cov_f.dtype)
     C = 0.5 * _mm(deltas.T, D)  # (n, n) cross-covariance cov(x_k, x_pred)
 
     # G = C·P⁻⁻¹ via an SPD solve (P⁻ Gᵀ = Cᵀ); the banked Pallas solver

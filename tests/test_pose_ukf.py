@@ -439,3 +439,59 @@ def test_set_process_noise_covariance_all_wrappers():
     i = iukf.IndirectPoseUKF((0.05,) * 3, (0.02,) * 3, 30.0)
     i.set_process_noise_covariance(np.eye(6) * 1e-6)
     np.testing.assert_array_equal(np.asarray(i.params.process_noise), np.eye(6) * 1e-6)
+
+
+def test_update_bank_rejects_unknown_deps():
+    """deps must name real PoseState fields — the fused path freezes non-deps
+    at the mean, so a typo would silently zero a cross-covariance column on
+    TPU while staying correct on CPU."""
+    state, params = make_filter()
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
+
+    bstate = bankmod.replicate(state, 2)
+    z = jnp.zeros((2, 3))
+    r = jnp.tile(jnp.eye(3)[None], (2, 1, 1))
+    with pytest.raises(ValueError, match="unknown PoseState fields"):
+        pukf.update_bank(
+            bstate, params, z, r, lambda s: s.velocity, ("velocty",), use_fused=False
+        )
+
+
+def test_visual_features_info_stacked_per_corner():
+    """update_visual_features reports every corner's NIS, not just the last
+    one's — an outlier corner must stay visible to metrics monitoring."""
+    state, params = make_filter()
+    cam = CFG.visual_landmarks.camera_config
+    corners = jnp.asarray(
+        [[0.1, 0.1, 0.0], [-0.1, 0.1, 0.0], [-0.1, -0.1, 0.0], [0.1, -0.1, 0.0]]
+    )
+    marker_p = jnp.array([1.0, 0.0, 2.0])
+    marker_q = mf.quat_exp(jnp.array([0.0, jnp.pi / 2, 0.0]))
+    pixels = jnp.tile(jnp.array([cam.cx, cam.cy])[None], (4, 1))
+    pixel_covs = jnp.tile(jnp.eye(2)[None] * 0.25, (4, 1, 1))
+    _, info = pukf.update_visual_features(
+        state, params, pixels, pixel_covs, corners, marker_p, marker_q,
+        jnp.eye(6) * 1e-6, cam, jnp.zeros(3), mf.quat_identity(),
+    )
+    assert info.mahalanobis2.shape == (4,)
+    assert info.accepted.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(info.mahalanobis2)))
+
+
+def test_wrapper_noise_setters_pin_state_dtype():
+    """set_process_noise_from_config / set_process_noise_covariance keep Q at
+    the filter's state dtype (regression: a float64 Q on a float32 filter
+    promoted the covariance on the next predict and silently dropped the bank
+    off the fused TPU path)."""
+    state, params = make_filter()
+    f32_state = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        state.mu,
+    )
+    f = pukf.PoseUKF.from_state(f32_state, state.cov.astype(jnp.float32), params)
+    f.set_process_noise_from_config(CFG, 0.01)
+    assert f.params.process_noise.dtype == jnp.float32
+    f.set_process_noise_covariance(np.eye(53) * 1e-8)
+    assert f.params.process_noise.dtype == jnp.float32
+    f.prediction_step(0.01)
+    assert f.state.cov.dtype == jnp.float32
