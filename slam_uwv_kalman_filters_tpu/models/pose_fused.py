@@ -59,6 +59,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import geodesy as geo
+from ..ops import kernels
 from ..ops.kernels import LANE_TILE, equilibrated_sigma_columns
 
 if TYPE_CHECKING:  # circular-import guard: pose_ukf imports this lazily
@@ -306,33 +307,36 @@ def _pose_predict_body(
     y_ref[:, 5] = rz
 
     # ---- process-noise assembly (src/PoseUKF.cpp:446-460) ----------------
-    # (shared-params mode only; the banked-params wrapper adds Q in XLA)
-    # orientation block: R(mu_in)*Qrot*R(mu_in)^T, Qrot pre-scaled by dt^2
-    w0, x0, y0, z0 = mu[3:4], mu[4:5], mu[5:6], mu[6:7]  # (1, B)
-    r00 = 1 - 2 * (y0 * y0 + z0 * z0)
-    r01 = 2 * (x0 * y0 - w0 * z0)
-    r02 = 2 * (x0 * z0 + w0 * y0)
-    r10 = 2 * (x0 * y0 + w0 * z0)
-    r11 = 1 - 2 * (x0 * x0 + z0 * z0)
-    r12 = 2 * (y0 * z0 - w0 * x0)
-    r20 = 2 * (x0 * z0 - w0 * y0)
-    r21 = 2 * (y0 * z0 + w0 * x0)
-    r22 = 1 - 2 * (x0 * x0 + y0 * y0)
-    R = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
-    Qr = tuple(tuple(f1(_S_QROT + 3 * i + j) for j in range(3)) for i in range(3))
-    # T = R*Qr ; B3 = T*R^T (exact-symmetric assembly: compute lower, mirror)
-    T = tuple(
-        tuple(sum(R[i][k] * Qr[k][j] for k in range(3)) for j in range(3)) for i in range(3)
-    )
-    B3 = [[None] * 3 for _ in range(3)]
-    for i in range(3):
-        for j in range(i + 1):
-            v = sum(T[i][k] * R[j][k] for k in range(3))
-            B3[i][j] = v
-            B3[j][i] = v
-    # velocity-scaled water-current inflation (z-velocity x10), dt^3 total
-    v0, v1, v2 = mu[7:8], mu[8:9], mu[9:10]
-    wvq = f1(_S_WVQ) * (v0 * v0 + v1 * v1 + 100.0 * v2 * v2)  # (1, B)
+    # shared-params mode only — the banked-params wrapper adds Q in XLA, so
+    # phase E skips every consumer; guard the assembly too rather than rely
+    # on Mosaic DCE to delete it
+    if not banked_params:
+        # orientation block: R(mu_in)*Qrot*R(mu_in)^T, Qrot pre-scaled by dt^2
+        w0, x0, y0, z0 = mu[3:4], mu[4:5], mu[5:6], mu[6:7]  # (1, B)
+        r00 = 1 - 2 * (y0 * y0 + z0 * z0)
+        r01 = 2 * (x0 * y0 - w0 * z0)
+        r02 = 2 * (x0 * z0 + w0 * y0)
+        r10 = 2 * (x0 * y0 + w0 * z0)
+        r11 = 1 - 2 * (x0 * x0 + z0 * z0)
+        r12 = 2 * (y0 * z0 - w0 * x0)
+        r20 = 2 * (x0 * z0 - w0 * y0)
+        r21 = 2 * (y0 * z0 + w0 * x0)
+        r22 = 1 - 2 * (x0 * x0 + y0 * y0)
+        R = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
+        Qr = tuple(tuple(f1(_S_QROT + 3 * i + j) for j in range(3)) for i in range(3))
+        # T = R*Qr ; B3 = T*R^T (exact-symmetric assembly: compute lower, mirror)
+        T = tuple(
+            tuple(sum(R[i][k] * Qr[k][j] for k in range(3)) for j in range(3)) for i in range(3)
+        )
+        B3 = [[None] * 3 for _ in range(3)]
+        for i in range(3):
+            for j in range(i + 1):
+                v = sum(T[i][k] * R[j][k] for k in range(3))
+                B3[i][j] = v
+                B3[j][i] = v
+        # velocity-scaled water-current inflation (z-velocity x10), dt^3 total
+        v0, v1, v2 = mu[7:8], mu[8:9], mu[9:10]
+        wvq = f1(_S_WVQ) * (v0 * v0 + v1 * v1 + 100.0 * v2 * v2)  # (1, B)
 
     # ---- phase E: covariance 1/2*sum_i(D_i D_i^T) + Q, rows, sigma-chunked -
     # Half-triangle only: cov_ref[nn, nn:] — exactly the half the downstream
@@ -365,12 +369,8 @@ def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret,
     nb = cov_t.shape[-1]
     n = TANGENT_DIM
     grid = (nb // LANE_TILE,)
-    lane_spec = lambda *shape: pl.BlockSpec(
-        (*shape, LANE_TILE), lambda i: (*(0,) * len(shape), i), memory_space=pltpu.VMEM
-    )
-    full_spec = lambda *shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
+    lane_spec = kernels.lane_block_spec
+    full_spec = kernels.full_block_spec
     if banked_params:
         # per-lane decay vectors and geography anchor (q0m slot = (2, B))
         param_specs = [lane_spec(STORAGE_DIM), lane_spec(STORAGE_DIM), lane_spec(2)]

@@ -30,7 +30,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import ukf
-from ..ops.kernels import LANE_TILE, _sigma_deltas_lanes
+from ..ops import kernels
+from ..ops.kernels import (
+    LANE_TILE,
+    _sigma_deltas_lanes,
+    equilibrated_sigma_columns,
+)
 from .pose_fused import (
     NSIG,
     STORAGE_DIM,
@@ -182,9 +187,7 @@ def _pose_update_lanes(deltas_t, dz_t, nu_t, r_t, mu_t, cov_t, thr, *, interpret
     nb = deltas_t.shape[-1]
     n = TANGENT_DIM
     m = dz_t.shape[1]
-    lane_spec = lambda *shape: pl.BlockSpec(
-        (*shape, LANE_TILE), lambda i: (*(0,) * len(shape), i), memory_space=pltpu.VMEM
-    )
+    lane_spec = kernels.lane_block_spec
     return pl.pallas_call(
         _make_update_kernel(m),
         out_shape=(
@@ -317,8 +320,6 @@ def _make_update_model_kernel(model: str):
     points, and the shared update tail — one launch, so the (107, 53, B)
     delta tensor never round-trips HBM (~1.5 GB/step saved at a 32k bank vs
     the generic deltas-kernel → XLA-h → update-kernel pipeline)."""
-    from ..ops.kernels import equilibrated_sigma_columns
-
     m = FUSED_MODELS[model]
 
     def kernel(
@@ -375,9 +376,7 @@ def _pose_update_model_lanes(model, z_t, r_t, mu_t, cov_t, scal, *, interpret):
     nb = cov_t.shape[-1]
     n = TANGENT_DIM
     m = FUSED_MODELS[model]
-    lane_spec = lambda *shape: pl.BlockSpec(
-        (*shape, LANE_TILE), lambda i: (*(0,) * len(shape), i), memory_space=pltpu.VMEM
-    )
+    lane_spec = kernels.lane_block_spec
     return pl.pallas_call(
         _make_update_model_kernel(model),
         out_shape=(
@@ -416,7 +415,6 @@ def _make_step_velocity_kernel():
     covariance + in-kernel h + shared tail). The predicted covariance never
     reaches HBM — vs the two-launch chain this saves a full write + read of
     the (53, 53, B) covariance per step (~0.75 GB at a 32k bank)."""
-    from ..ops.kernels import equilibrated_sigma_columns
     from .pose_fused import _pose_predict_body
 
     m = 3
@@ -475,12 +473,8 @@ def _pose_step_velocity_lanes(
     nb = cov_t.shape[-1]
     n = TANGENT_DIM
     m = 3
-    lane_spec = lambda *shape: pl.BlockSpec(
-        (*shape, LANE_TILE), lambda i: (*(0,) * len(shape), i), memory_space=pltpu.VMEM
-    )
-    full_spec = lambda *shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
+    lane_spec = kernels.lane_block_spec
+    full_spec = kernels.full_block_spec
     return pl.pallas_call(
         _make_step_velocity_kernel(),
         out_shape=(
@@ -694,19 +688,17 @@ def _measurement_stage(deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h):
                 updates[name] = val + dpart
         return h(mu_one._replace(**updates))
 
+    # pin h's output to the kernel dtype (same policy as ops.ukf.update):
+    # h may read float64 params, and f64 refs cannot lower into the f32 kernel
     Z = jax.vmap(lambda dk, mo: jax.vmap(lambda d1: h_of(d1, mo))(dk))(d_small, mu_bank)
+    Z = Z.astype(dtype)
     z_mean = jnp.mean(Z, axis=1)  # (B, m)
     dZ = Z - z_mean[:, None, :]
     innovation = z - z_mean  # (B, m)
 
     if pad:
         dZ = jnp.concatenate([dZ, jnp.zeros((pad, NSIG, m), dtype)], axis=0)
-        innovation_p = jnp.concatenate([innovation, jnp.zeros((pad, m), dtype)], axis=0)
-        meas_cov_p = jnp.concatenate(
-            [meas_cov, jnp.broadcast_to(jnp.eye(m, dtype=dtype), (pad, m, m))], axis=0
-        )
-    else:
-        innovation_p, meas_cov_p = innovation, meas_cov
+    innovation_p, meas_cov_p = _pad_measurement(innovation, meas_cov, pad, m, dtype)
     return dZ, innovation, innovation_p, meas_cov_p
 
 

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import linalg_small
 from .linalg_small import UNROLL_LIMIT, cholesky_unrolled
 
 __all__ = [
@@ -44,6 +45,21 @@ __all__ = [
 ]
 
 LANE_TILE = 128  # instances per lane group (hardware lane width)
+
+
+def lane_block_spec(*shape) -> pl.BlockSpec:
+    """BlockSpec of a bank-on-lanes operand: block ``(*shape, LANE_TILE)``
+    with the grid over the lane (bank) axis — the single definition of the
+    lanes protocol shared by every kernel launcher."""
+    return pl.BlockSpec(
+        (*shape, LANE_TILE), lambda i: (*(0,) * len(shape), i), memory_space=pltpu.VMEM
+    )
+
+
+def full_block_spec(*shape) -> pl.BlockSpec:
+    """BlockSpec of an operand replicated to every lane block (shared
+    scalars/params packed as trailing size-1 lane axes)."""
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
 
 def _cholesky_lanes_kernel(a_ref, out_ref):
@@ -133,10 +149,13 @@ def equilibrated_sigma_columns(a_ref, s_ref, write_column) -> None:
     # columns are factored in sublane-aligned panels of 16 — within a panel
     # the (column-sized) downdates of earlier panel columns are applied on
     # the fly — and the trailing slab gets ONE fused rank-16 update per
-    # panel: 16× fewer slab read-modify-writes for identical FMAs and
-    # ulp-identical grouping per element (products summed in ascending
-    # column order). Panel 16 measured ~1% over panel 8; larger panels grow
-    # the in-panel column downdates quadratically.
+    # panel: 16× fewer slab read-modify-writes. Equivalent math, NOT
+    # bit-identical to a per-column right-looking loop: in-panel downdates
+    # apply sequentially (and over the aligned row tail) while the slab
+    # update sums the rank-16 products before one subtract, so f32 results
+    # differ at the ulp level across panel-width changes. Panel 16 measured
+    # ~1% over panel 8; larger panels grow the in-panel column downdates
+    # quadratically.
     for j in range(n):
         rs = (j // 8) * 8
         s_ref[j, rs:] = a_ref[j, rs:] * (dinv[j : j + 1, :] * dinv[rs:])
@@ -224,7 +243,9 @@ def sigma_deltas_banked(cov: jax.Array, force_pallas: bool = False) -> jax.Array
     if single:
         cov = cov[None]
     n = cov.shape[-1]
-    use_pallas = (force_pallas or (_on_tpu() and cov.shape[0] >= 64)) and n > UNROLL_LIMIT
+    use_pallas = (
+        force_pallas or (_on_tpu() and cov.shape[0] >= 64 and cov.dtype == jnp.float32)
+    ) and n > UNROLL_LIMIT
     if not use_pallas:
         L = cholesky_banked(cov, force_pallas=force_pallas)
         cols = jnp.swapaxes(L, -1, -2)  # (N, n, n): row j = column j of L
@@ -299,7 +320,11 @@ def cholesky_banked(cov: jax.Array, force_pallas: bool = False) -> jax.Array:
     # Small banks don't amortize the lane-tile padding (and may execute on a
     # CPU device inside a TPU-default process, where non-interpret Pallas
     # cannot run) — use the library kernel there.
-    use_pallas = force_pallas or (_on_tpu() and cov.shape[0] >= 64)
+    # dtype gate: Mosaic cannot lower f64 — an x64 oracle run on a TPU-default
+    # host must take the library path, not the kernel
+    use_pallas = force_pallas or (
+        _on_tpu() and cov.shape[0] >= 64 and cov.dtype == jnp.float32
+    )
     if not use_pallas:
         out = jnp.linalg.cholesky(cov)
     else:
@@ -406,12 +431,12 @@ def solve_spd_banked(spd: jax.Array, rhs: jax.Array, force_pallas: bool = False)
     substitutions); small n uses the fully-unrolled scalar path and other
     configurations LAPACK/XLA ``cho_solve``.
     """
-    from . import linalg_small
-
     n = spd.shape[-1]
     if n <= UNROLL_LIMIT:
         return jax.vmap(linalg_small.solve_spd)(spd, rhs)
-    use_pallas = force_pallas or (_on_tpu() and spd.shape[0] >= 64)
+    use_pallas = force_pallas or (
+        _on_tpu() and spd.shape[0] >= 64 and spd.dtype == jnp.float32
+    )
     if not use_pallas:
         # equilibrate here too: filter covariances reach ~1e12 condition in
         # raw units (see cholesky_banked) — a raw f32 cho_factor NaNs exactly

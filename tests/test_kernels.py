@@ -103,3 +103,28 @@ def test_solve_spd_banked_matches_numpy():
     # vmap routing
     out2 = jax.jit(jax.vmap(kernels.solve_spd_fast))(spd, rhs)
     np.testing.assert_allclose(np.asarray(out2), ref, rtol=1e-6, atol=1e-7)
+
+
+def test_banked_ops_skip_pallas_for_f64(monkeypatch):
+    """f64 banks on a TPU-default host must take the library path — Mosaic
+    cannot lower f64 (regression: the use_pallas gates checked backend and
+    bank size but never dtype, so an x64 oracle run on TPU hardware crashed
+    in lowering). Simulated by forcing _on_tpu() True on CPU: with the dtype
+    gate the Pallas branch is never entered."""
+    from slam_uwv_kalman_filters_tpu.ops import kernels
+
+    monkeypatch.setattr(kernels, "_on_tpu", lambda: True)
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=(130, 12, 12))
+    spd = jnp.asarray(a @ np.transpose(a, (0, 2, 1)) + 10 * np.eye(12))
+    assert spd.dtype == jnp.float64
+
+    L = kernels.cholesky_banked(spd)
+    np.testing.assert_allclose(
+        np.asarray(L @ np.transpose(L, (0, 2, 1))), np.asarray(spd), rtol=1e-9, atol=1e-9
+    )
+    deltas = kernels.sigma_deltas_banked(spd)
+    assert deltas.shape == (130, 25, 12)
+    rhs = jnp.asarray(rng.normal(size=(130, 12, 2)))
+    x = kernels.solve_spd_banked(spd, rhs)
+    np.testing.assert_allclose(np.asarray(spd @ x), np.asarray(rhs), atol=1e-8)

@@ -605,3 +605,33 @@ def test_all_in_kernel_measurement_models_match_generic():
         np.testing.assert_array_equal(
             np.asarray(fi.accepted), np.asarray(gi.accepted), err_msg=model
         )
+
+
+def test_fused_update_pins_f64_h_output_to_state_dtype():
+    """A measurement model that reads float64 parameters must not push f64
+    deviations into the f32 kernel (regression: Mosaic cannot lower f64; in
+    interpret mode the f64 values were silently written into f32 refs).
+    Policy matches ops.ukf.update: the state's dtype governs."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    bstate, params = _make_bank(2)
+    z = jnp.asarray(RNG.normal(scale=0.2, size=(2, 3)), jnp.float32)
+    r = jnp.tile((jnp.eye(3, dtype=jnp.float32) * 1e-3)[None], (2, 1, 1))
+
+    f64_scale = jnp.asarray(1.0, jnp.float64)  # a "param" that promotes
+
+    def h(s):
+        return mf.quat_rotate_inv(s.orientation, s.velocity) * f64_scale
+
+    out, info = puf.update_fused_banked(
+        bstate, params, z, r, h, ("orientation", "velocity"), None, interpret=True
+    )
+    assert out.cov.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(out.cov)))
+    # and matches the un-promoted model exactly (scale is 1.0)
+    ref, _ = puf.update_fused_banked(
+        bstate, params, z, r,
+        lambda s: mf.quat_rotate_inv(s.orientation, s.velocity),
+        ("orientation", "velocity"), None, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=0)
