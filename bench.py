@@ -90,15 +90,31 @@ def _build_bottom_step(dtype):
 
 
 def _build_indirect_step(dtype):
-    """BASELINE configs[2]: IndirectPoseUKF error-state filter."""
+    """BASELINE configs[2]: IndirectPoseUKF error-state filter — one
+    prediction plus a one-corner visual-marker update (state augmentation +
+    S² measurement + marginalization) per step."""
     import jax.numpy as jnp
 
     from slam_uwv_kalman_filters_tpu.models import indirect_pose_ukf as ipu
+    from slam_uwv_kalman_filters_tpu.utils.config import CameraConfiguration
 
     state, params = ipu.init((0.05,) * 3, (0.02,) * 3, 30.0, dtype=dtype)
+    cam = CameraConfiguration()
+    feature_px = jnp.array([[330.0, 236.0]], dtype)
+    feature_cov = jnp.eye(2, dtype=dtype)[None] * 4.0
+    feature_pos = jnp.array([[0.1, 0.1, 0.0]], dtype)
+    marker_pos = jnp.array([2.0, 0.0, 1.0], dtype)
+    marker_rot = jnp.array([1.0, 0, 0, 0], dtype)
+    cov_marker = jnp.eye(6, dtype=dtype) * 1e-4
+    cam_in_body_pos = jnp.zeros(3, dtype)
+    cam_in_body_rot = jnp.array([1.0, 0, 0, 0], dtype)
 
     def step(s, z, r):
         s = ipu.predict(s, params, 0.1)
+        s, _ = ipu.update_markers(
+            s, feature_px, feature_cov, feature_pos, marker_pos, marker_rot,
+            cov_marker, cam, cam_in_body_pos, cam_in_body_rot,
+        )
         return s
 
     return state, params, step
@@ -144,7 +160,6 @@ def _build_pose_step(dtype):
     # public bank chain at 32k instances, bit-identical results.
     from slam_uwv_kalman_filters_tpu.models import pose_fused as pf
     from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
-    from slam_uwv_kalman_filters_tpu.ops import manifolds as mf
 
     def lanes_step(ls, z, r):
         # DVL measurement model fused in-kernel: the sigma-delta tensor never
@@ -204,9 +219,11 @@ def bench_tpu_bank(state, step, bank_n, iters, dtype):
 
 def bench_cpu_single(scenario="pose", iters=300):
     """Single-instance rate on one CPU core — the C++-semantics stand-in
-    (XLA-CPU scalar code ≈ Eigen codegen). Requests f64; falls back to f32
-    when x64 is disabled in-process, which only makes the baseline FASTER,
-    i.e. vs_baseline conservative."""
+    (XLA-CPU scalar code ≈ Eigen codegen). Enables x64 so the f64 request is
+    honored (without it jnp silently truncates to f32, which would mislabel
+    the baseline); safe here because this runs AFTER the timed TPU/f32
+    measurement and config flips only affect subsequent traces."""
+    jax.config.update("jax_enable_x64", True)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         state, params, step = build_step(jnp.float64, scenario)
@@ -242,6 +259,10 @@ def main():
     dtype = {"float32": jnp.float32, "float64": jnp.float64}.get(
         os.environ.get("BENCH_DTYPE", ""), dtype
     )
+    if jnp.dtype(dtype) == np.float64:
+        # without x64 a float64 request silently truncates to f32 and the
+        # logged dtype would be a lie
+        jax.config.update("jax_enable_x64", True)
 
     _log(
         f"backend={backend} scenario={scenario} bank={bank_n} iters={iters} "

@@ -46,7 +46,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
-    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn, manifolds as mf
+    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn
     from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod, sharding as shmod
     from slam_uwv_kalman_filters_tpu.utils import metrics
     from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
@@ -78,41 +78,49 @@ def main(argv=None):
 
     true_v = jnp.asarray([0.5, 0.0, 0.0], dtype)
     dt = 1.0 / args.rate
+    n_ticks = int(args.rate)  # ticks actually run per simulated second
+    dvl_every = max(1, round(args.rate / 5))  # ~5 Hz; every tick at low rates
 
-    def second_of_steps(bs, z_dvl):
-        """One simulated second: rate× (predict + masked DVL @5 Hz)."""
+    def second_of_steps(bs, z_dvl, truth_pos):
+        """One simulated second: rate× (predict + masked DVL @~5 Hz)."""
         def tick(carry, k):
             bs = carry
             # fused Pallas predict + update on TPU f32 (generic path elsewhere)
             bs = pukf.predict_bank(bs, params, dt)
             bs2, _ = pukf.update_velocity_bank(bs, params, z_dvl, jnp.eye(3, dtype=dtype) * 1e-4)
-            do_dvl = (k % int(args.rate / 5)) == 0
+            do_dvl = (k % dvl_every) == 0
             bs = jax.tree_util.tree_map(lambda a, b: jnp.where(do_dvl, a, b), bs2, bs)
             return bs, None
-        bs, _ = jax.lax.scan(tick, bs, jnp.arange(int(args.rate)))
-        # ensemble statistics — the one cross-device reduction
+        bs, _ = jax.lax.scan(tick, bs, jnp.arange(n_ticks))
+        # ensemble statistics — the one cross-device reduction: mean/spread
+        # plus position NEES against the known truth (should hover near 3)
         mean_pos = bs.mu.position.mean(axis=0)
         spread = bs.mu.position.std(axis=0).max()
-        return bs, (mean_pos, spread)
+        mean_nees = jax.vmap(metrics.nees)(
+            bs.mu.position - truth_pos[None], bs.cov[:, :3, :3]
+        ).mean()
+        return bs, (mean_pos, spread, mean_nees)
 
     step = jax.jit(second_of_steps)
     z = jnp.tile(true_v[None], (args.bank, 1))
+    t_sim = 1.0  # simulated seconds elapsed (truth moves at true_v from t=0)
 
     t0 = time.perf_counter()
-    bstate, stats = step(bstate, z)
+    bstate, stats = step(bstate, z, true_v * t_sim)
     jax.block_until_ready(bstate)
     print(f"compile + first second: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     n_sec = int(args.seconds)
     for s in range(n_sec):
-        bstate, (mean_pos, spread) = step(bstate, z)
+        t_sim += 1.0
+        bstate, (mean_pos, spread, mean_nees) = step(bstate, z, true_v * t_sim)
         if s % max(1, n_sec // 5) == 0:
             print(f"t={s + 1:3d}s  ensemble mean pos={np.asarray(mean_pos).round(3)}  "
-                  f"spread={float(spread):.3f} m")
+                  f"spread={float(spread):.3f} m  position NEES={float(mean_nees):.2f}")
     jax.block_until_ready(bstate)
     wall = time.perf_counter() - t0
-    steps = args.bank * args.rate * n_sec
+    steps = args.bank * n_ticks * n_sec
     print(f"throughput: {steps / wall / 1e3:.0f}k filter-steps/s over {len(devices)} device(s)")
 
     # consistency: velocity converged for every instance in the bank

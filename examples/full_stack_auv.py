@@ -132,6 +132,32 @@ def main(seconds=30.0, rate=50.0, seed=0):
         bs2 = apply_ranges(bs)
         return jax.tree_util.tree_map(lambda a, b: jnp.where(do_ranges, a, b), bs2, bs)
 
+    # visual-marker geometry for the IndirectPoseUKF: a down-looking camera
+    # (180° about body x: camera z points down) sights a 0.5 m seafloor
+    # marker every few seconds; pixels are synthesized from the TRUE pose so
+    # the error-state filter must recover the PoseUKF's drift
+    cam = CameraConfiguration()
+    cam_q = jnp.asarray([0.0, 1.0, 0.0, 0.0], dtype)
+    cam_p = jnp.zeros(3, dtype)
+    marker_q = jnp.asarray([1.0, 0, 0, 0], dtype)
+    feature_pos = jnp.asarray(
+        [[0.25, 0.25, 0.0], [-0.25, 0.25, 0.0], [-0.25, -0.25, 0.0], [0.25, -0.25, 0.0]],
+        dtype,
+    )
+    marker_period = int(5.0 * rate)
+
+    def project_marker(true_q, true_p, marker_p):
+        """True-pose pinhole projection of the marker corners (simulation side)."""
+        cam_nav_q, cam_nav_p = mf.affine_mul(true_q, true_p, cam_q, cam_p)
+        nav_cam_q, nav_cam_p = mf.affine_inv(cam_nav_q, cam_nav_p)
+        pixels = []
+        for i in range(feature_pos.shape[0]):
+            f_nav = mf.affine_apply(marker_q, marker_p, feature_pos[i])
+            f_cam = np.asarray(mf.affine_apply(nav_cam_q, nav_cam_p, f_nav))
+            pixels.append([f_cam[0] / f_cam[2] * cam.fx + cam.cx,
+                           f_cam[1] / f_cam[2] * cam.fy + cam.cy])
+        return np.asarray(pixels)
+
     @jax.jit
     def pose_tick(ps, gyro, acc, dvl, pressure, efforts, do_dvl):
         ps = pukf.integrate_rotation_rate(ps, gyro)
@@ -173,10 +199,30 @@ def main(seconds=30.0, rate=50.0, seed=0):
         )
         pose_state = pose_tick(pose_state, gyro, acc, dvl, pressure, efforts, do_dvl)
 
-    # IndirectPoseUKF: correct the PoseUKF pose against a visual-marker fix
-    ind_state = iukf.update_pose_reference(
-        ind_state, pose_state.mu.position, pose_state.mu.orientation
-    )
+        # IndirectPoseUKF: sporadic visual-marker fix against the PoseUKF pose
+        if (k + 1) % marker_period == 0:
+            true_q = jnp.asarray([1.0, 0, 0, 0], dtype)  # yaw-free ground truth
+            true_p = jnp.asarray([pos_x, 0.0, true_depth], dtype)
+            marker_p = jnp.asarray([pos_x, 0.0, true_depth - 6.0], dtype)
+            pixels = project_marker(true_q, true_p, marker_p)
+            pixels += rng.normal(scale=0.5, size=pixels.shape)
+            ind_state = iukf.predict(ind_state, ind_params, 5.0)
+            ind_state = iukf.update_pose_reference(
+                ind_state, pose_state.mu.position, pose_state.mu.orientation
+            )
+            ind_state, _ = iukf.update_markers(
+                ind_state,
+                jnp.asarray(pixels, dtype),
+                jnp.tile(jnp.eye(2, dtype=dtype)[None] * 0.25, (4, 1, 1)),
+                feature_pos,
+                marker_p,
+                marker_q,
+                jnp.eye(6, dtype=dtype) * 1e-6,
+                cam,
+                cam_p,
+                cam_q,
+            )
+
     wall = time.perf_counter() - t0
 
     # ---- report -----------------------------------------------------------
@@ -193,12 +239,15 @@ def main(seconds=30.0, rate=50.0, seed=0):
     print(f"BottomUKF:   distance={d_est:.2f} (true {dist_true:.2f})  "
           f"normal=({nrm[0]:.3f},{nrm[1]:.3f},{nrm[2]:.3f}) (true ({seafloor_normal[0]:.3f},0,{seafloor_normal[2]:.3f}))")
     print(f"PoseUKF:     |v|err={abs(pose_v[0]-v_true):.3f}  pos_x={pose_p[0]:.2f} (true {pos_x:.2f})")
-    print(f"IndirectPoseUKF corrected pose x={float(corr_p[0]):.2f}")
+    print(f"IndirectPoseUKF corrected pose x={float(corr_p[0]):.2f} "
+          f"(raw PoseUKF err {abs(pose_p[0] - pos_x):.3f} m -> "
+          f"corrected err {abs(float(corr_p[0]) - pos_x):.3f} m)")
 
     assert abs(v_est - v_true) < 0.02, "VelocityUKF diverged"
     assert abs(d_est - dist_true) < 0.3, "BottomUKF distance diverged"
     assert abs(nrm[0] - seafloor_normal[0]) < 0.03, "BottomUKF normal not recovered"
     assert abs(pose_p[0] - pos_x) < 0.5, "PoseUKF position diverged"
+    assert abs(float(corr_p[0]) - pos_x) < 0.15, "IndirectPoseUKF correction diverged"
     print("FULL STACK OK")
     return wall
 

@@ -127,8 +127,7 @@ def main(argv=None):
     print(f"backend={backend} dtype={dtype_name} ticks={n} "
           f"({args.minutes:.1f} min @ {args.rate:.0f} Hz)")
 
-    cfg = default_pose_ukf_config()
-    cfg = type(cfg)(**{**cfg.__dict__})  # shallow copy; defaults already match sim noise scales
+    cfg = default_pose_ukf_config()  # defaults already match sim noise scales
     model = dyn.default_uwv_parameters(dtype=dtype)
 
     state, params = pukf.init_from_pose(
@@ -149,6 +148,9 @@ def main(argv=None):
         t0, t1 = (float(x) for x in args.dvl_dropout.split(","))
         dvl_valid &= ~((sim["t"] >= t0) & (sim["t"] < t1))
         print(f"DVL dropout: [{t0:.0f}s, {t1:.0f}s) — coasting on IMU+pressure")
+    # intermittent surface GPS fix: one projected XY fix every 30 s (the
+    # vehicle briefly acquires GPS between survey legs)
+    xy = sim["pos"][:, :2] + rng.normal(scale=1.5, size=(n, 2))
     inputs = pose_driver.make_inputs(
         n, dt,
         rotation_rate=sim["gyro"],
@@ -156,6 +158,7 @@ def main(argv=None):
         dvl=sim["dvl"], dvl_cov=np.eye(3) * (2e-3) ** 2 * 4, dvl_valid=dvl_valid,
         pressure=sim["pressure"], pressure_cov=np.eye(1) * 50.0**2 * 4,
         pressure_valid=every(10.0),
+        xy=xy, xy_cov=np.eye(2) * 1.5**2 * 4, xy_valid=every(1.0 / 30.0),
         dtype=dtype,
     )
 

@@ -15,7 +15,7 @@ The deployment shape the reference's ROCK component implements by hand
    never happen.
 
 Run:  python examples/online_estimator.py           # TPU (f32 fused kernels)
-      JAX_PLATFORMS=cpu python examples/online_estimator.py --bank 32
+      python examples/online_estimator.py --cpu --bank 32 --rate 10
 """
 
 from __future__ import annotations
@@ -64,8 +64,12 @@ def main(argv=None):
     p.add_argument("--seconds", type=int, default=10)
     p.add_argument("--rate", type=float, default=100.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = p.parse_args(argv)
 
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -80,6 +84,7 @@ def main(argv=None):
     from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
 
     on_tpu = jax.default_backend() == "tpu"
+    interpret = not on_tpu  # lanes Pallas kernels need interpret mode off-TPU
     dtype = jnp.float32
     rng = np.random.default_rng(args.seed)
     dt = 1.0 / args.rate
@@ -111,12 +116,12 @@ def main(argv=None):
     @jax.jit
     def tick_predict(ls, rr):
         ls = pose_fused.set_rotation_rate_lanes(ls, rr)
-        return pose_fused.predict_lanes(ls, params, dt)
+        return pose_fused.predict_lanes(ls, params, dt, interpret=interpret)
 
     @jax.jit
     def tick_dvl(ls, z):
         # measurement model fused in-kernel — one launch, no delta round-trip
-        out, _ = puf.update_model_lanes("velocity", ls, z, r_dvl)
+        out, _ = puf.update_model_lanes("velocity", ls, z, r_dvl, interpret=interpret)
         return out
 
     @jax.jit
@@ -124,11 +129,13 @@ def main(argv=None):
         out, _ = puf.update_model_lanes(
             "pressure", ls, z, r_press,
             aux=(params.atmospheric_pressure, 0.0, 0.0, 0.0),
+            interpret=interpret,
         )
         return out
 
     sensor_dims = np.asarray([3, 3, 1], np.int32)
-    total_events = dropped_total = 0
+    last_gyro = np.zeros(3)  # gyro is an input sensor: ticks without an event
+    total_events = dropped_total = 0  # integrate the last received rate
     wall = 0.0
     steady_wall, steady_chunks = 0.0, 0
     for sec in range(args.seconds):
@@ -142,10 +149,12 @@ def main(argv=None):
             ts, ids, payloads, sensor_dims, t0_us, int(1e6 / args.rate), n_ticks
         )
         dropped_total += int(dropped)
+        gyro_vals, _ = runtime.forward_fill(values[GYRO], valid[GYRO], last_gyro)
+        last_gyro = gyro_vals[-1, :3].copy()
         # per-tick dispatch against the persistent lanes state
         for k in range(n_ticks):
             rr = jnp.asarray(
-                np.tile(values[GYRO, k, :3], (args.bank, 1)), dtype
+                np.tile(gyro_vals[k, :3], (args.bank, 1)), dtype
             )
             ls = tick_predict(ls, rr)
             if valid[DVL, k]:

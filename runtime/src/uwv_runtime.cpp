@@ -118,6 +118,10 @@ struct UwvDelayedStates {
 
 void* uwv_delayed_states_new(int64_t capacity, int32_t dim,
                              double maximum_delay_s) {
+  // capacity 0 would make push() take `% 0` (SIGFPE) after an OOB write;
+  // negative sizes would abort inside vector::resize across the C ABI —
+  // return NULL and let the binding raise instead
+  if (capacity <= 0 || dim <= 0) return nullptr;
   auto* b = new UwvDelayedStates();
   b->capacity = capacity;
   b->dim = dim;

@@ -41,14 +41,15 @@ _load_failed = False  # caches a failed build so the hot ingest path never re-sp
 
 
 def build(force: bool = False) -> bool:
-    """Compile the native runtime (no-op if already built)."""
-    if _LIB_PATH.exists() and not force:
-        return True
+    """Compile the native runtime. Always invokes make — make's own mtime
+    comparison makes this a no-op when the .so is current, and (unlike an
+    exists() check) it picks up source edits."""
     try:
-        subprocess.run(["make", "-C", str(_RUNTIME_DIR)], check=True, capture_output=True)
+        cmd = ["make", "-C", str(_RUNTIME_DIR)] + (["-B"] if force else [])
+        subprocess.run(cmd, check=True, capture_output=True)
         return _LIB_PATH.exists()
     except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+        return _LIB_PATH.exists() and not force  # no compiler: use a prebuilt .so as-is
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -57,10 +58,16 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _load_failed:
         return None
-    if not _LIB_PATH.exists() and not build():
+    if not build():
         _load_failed = True
         return None
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        # corrupt .so, or built with -march=native on another CPU generation
+        # (shared/NFS checkout) — fall back to the NumPy paths as documented
+        _load_failed = True
+        return None
     i64, i32, f64p, u8p = (
         ctypes.c_int64,
         ctypes.c_int32,
@@ -110,6 +117,12 @@ def pack_schedule(
     payloads = np.ascontiguousarray(payloads, np.float64)
     sensor_dims = np.ascontiguousarray(sensor_dims, np.int32)
     n_sensors = len(sensor_dims)
+    if n_sensors <= 0:
+        raise ValueError("sensor_dims is empty")
+    if dt_us <= 0:
+        raise ValueError(f"dt_us must be positive, got {dt_us} (rate > 1e6 Hz?)")
+    if n_ticks < 0:
+        raise ValueError(f"n_ticks must be non-negative, got {n_ticks}")
     stride = payloads.shape[1] if payloads.ndim == 2 else 1
     payloads = payloads.reshape(len(timestamps_us), stride)
 
@@ -122,6 +135,8 @@ def pack_schedule(
             stride, sensor_dims, n_sensors, t0_us, dt_us, n_ticks,
             values.reshape(-1), valid.reshape(-1),
         )
+        if dropped < 0:
+            raise RuntimeError(f"native packer rejected the arguments (code {dropped})")
         return values, valid.astype(bool), int(dropped)
 
     # NumPy fallback — identical latest-wins semantics
@@ -181,10 +196,14 @@ class NativeDelayedStates:
     delegates to ``utils.delayed_states`` semantics."""
 
     def __init__(self, capacity: int, dim: int, maximum_delay_s: float):
+        if capacity <= 0 or dim <= 0:
+            raise ValueError(f"capacity and dim must be positive, got {capacity}, {dim}")
         self._dim = dim
         self._lib = _load()
         if self._lib is not None:
             self._h = self._lib.uwv_delayed_states_new(capacity, dim, maximum_delay_s)
+            if not self._h:
+                raise ValueError("native DelayedStates rejected the arguments")
         else:  # pure-python fallback
             self._h = None
             self._cap = capacity
@@ -194,6 +213,13 @@ class NativeDelayedStates:
     def push(self, ts_us: int, value, cov) -> None:
         value = np.ascontiguousarray(value, np.float64)
         cov = np.ascontiguousarray(cov, np.float64)
+        if value.size != self._dim or cov.size != self._dim * self._dim:
+            # the native side memcpy's dim/dim² doubles unconditionally — a
+            # short buffer would be read out of bounds
+            raise ValueError(
+                f"push expects value ({self._dim},) and cov "
+                f"({self._dim},{self._dim}); got {value.shape} and {cov.shape}"
+            )
         if self._h is not None:
             self._lib.uwv_delayed_states_push(self._h, int(ts_us), value, cov)
         else:
