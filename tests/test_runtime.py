@@ -152,3 +152,33 @@ def test_forward_fill_short_initial_zero_extends():
         assert False, "expected ValueError for initial longer than stride"
     except ValueError:
         pass
+
+
+def test_pack_schedule_rejects_bad_arguments():
+    """Both paths must raise identically on degenerate grids (regression: the
+    native path returned its -1 error code as the dropped count, while the
+    NumPy path died on a ZeroDivisionError)."""
+    ts = np.array([1_000])
+    sid = np.array([0], np.int32)
+    pay = np.zeros((1, 3))
+    with pytest.raises(ValueError, match="dt_us"):
+        rt.pack_schedule(ts, sid, pay, np.array([3]), 0, 0, 10)
+    with pytest.raises(ValueError, match="n_ticks"):
+        rt.pack_schedule(ts, sid, pay, np.array([3]), 0, 10_000, -1)
+    with pytest.raises(ValueError, match="sensor_dims"):
+        rt.pack_schedule(ts, sid, pay, np.zeros(0, np.int32), 0, 10_000, 10)
+
+
+def test_native_delayed_states_rejects_bad_sizes():
+    """Regression: capacity<=0 was a modulo-by-zero in the C++ push, and a
+    short value/cov buffer was an out-of-bounds memcpy read."""
+    with pytest.raises(ValueError):
+        rt.NativeDelayedStates(0, 3, 1.0)
+    with pytest.raises(ValueError):
+        rt.NativeDelayedStates(8, -1, 1.0)
+    nb = rt.NativeDelayedStates(8, 3, 1.0)
+    with pytest.raises(ValueError, match="push expects"):
+        nb.push(0, np.zeros(2), np.zeros((2, 2)))
+    with pytest.raises(ValueError, match="push expects"):
+        nb.push(0, np.zeros(3), np.zeros((3, 2)))
+    nb.push(0, np.zeros(3), np.zeros((3, 3)))  # correct shapes still accepted
