@@ -68,3 +68,27 @@ def test_example_clis_parse():
             env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
         )
         assert out.returncode == 0, f"{name} --help failed: {out.stderr[-500:]}"
+
+
+def test_fleet_monte_carlo_runs_at_low_rate():
+    """Execute the fleet example end-to-end (the --help-only check missed a
+    crash here once): low --rate exercises the dvl_every guard, and the run
+    covers the NEES reduction, failover heal, and sharded-bank path."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import fleet_monte_carlo
+
+    fleet_monte_carlo.main(["--bank", "8", "--seconds", "1", "--rate", "2", "--cpu"])
+
+
+def test_online_estimator_runs_off_tpu():
+    """Execute the online-ingest example end-to-end off-TPU (regression: the
+    lanes kernels were launched with interpret=False on CPU and crashed, and
+    gyro ticks without an event integrated a zero rate instead of the
+    forward-filled last value)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import online_estimator
+
+    rt = online_estimator.main(
+        ["--cpu", "--bank", "4", "--seconds", "2", "--rate", "5"]
+    )
+    assert rt > 0
