@@ -23,6 +23,7 @@ __all__ = [
     "vmap_filter",
     "masked",
     "select_where",
+    "mask_rows",
 ]
 
 
@@ -64,11 +65,36 @@ def select_where(mask: jax.Array, a: Any, b: Any) -> Any:
     return jax.tree_util.tree_map(sel, a, b)
 
 
+def mask_rows(mask: jax.Array, tree: Any) -> Any:
+    """Scrub per-instance rows of an auxiliary pytree where ``mask`` is False:
+    booleans become False, numbers become 0. Leaves whose leading shape does
+    not match the mask (non-banked scalars/constants) pass through untouched.
+
+    This is how discarded work is kept out of telemetry: an update/step that
+    ran but was rolled back must not leave its ``accepted`` flags or
+    NaN-poisoned statistics in the records a driver aggregates."""
+
+    def sel(x):
+        x = jnp.asarray(x)
+        if x.ndim < mask.ndim or x.shape[: mask.ndim] != mask.shape:
+            return x
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+        if jnp.issubdtype(x.dtype, jnp.bool_):
+            return x & m
+        return jnp.where(m, x, jnp.zeros_like(x))
+
+    return jax.tree_util.tree_map(sel, tree)
+
+
 def masked(update_fn: Callable) -> Callable:
     """Wrap a (vmapped) update so instances with ``valid=False`` keep their
     state — the batch equivalent of the reference's checkMeasurment exception
     (``src/PoseUKF.cpp:478``) and the only jit-compatible way to express
     per-instance measurement presence in an irregular sensor schedule.
+
+    The info record is masked alongside the state (``accepted`` False, NIS 0
+    for invalid instances): the discarded update must not surface phantom
+    acceptances or NaN statistics to metrics consumers.
 
     usage: ``state, info = masked(bank_update)(state, valid, params, z, R)``
     """
@@ -79,7 +105,7 @@ def masked(update_fn: Callable) -> Callable:
         # tuple instance, so the check must be on the exact type
         if type(out) is tuple:
             new_state, info = out
-            return select_where(valid, new_state, state), info
+            return select_where(valid, new_state, state), mask_rows(valid, info)
         return select_where(valid, out, state)
 
     return wrapped

@@ -26,7 +26,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .bank import select_where
+from .bank import mask_rows, select_where
 
 __all__ = [
     "instance_health",
@@ -77,9 +77,11 @@ def guarded(
     ``step_fn(bank_state, *args, **kw)`` returns either ``new_bank`` or
     ``(new_bank, aux)``. The wrapper returns ``(bank_out, healthy, [aux])``
     where ``healthy`` is the (B,) post-step health mask and ``bank_out`` keeps
-    the pre-step state wherever ``healthy`` is False. A rolled-back instance
-    is frozen, not fixed — pair with :func:`reseed_where` (or
-    ``models.pose_ukf.reset_with_external_pose``) to restart it.
+    the pre-step state wherever ``healthy`` is False. ``aux`` rows of
+    rolled-back instances are scrubbed (numbers 0, booleans False) — the
+    diverged step's NaN telemetry must not poison driver-side reductions. A
+    rolled-back instance is frozen, not fixed — pair with :func:`reseed_where`
+    (or ``models.pose_ukf.reset_with_external_pose``) to restart it.
     """
 
     def wrapped(bank_state, *args, **kw):
@@ -91,7 +93,7 @@ def guarded(
         bank_out = select_where(healthy, new_state, bank_state)
         if aux is None:
             return bank_out, healthy
-        return bank_out, healthy, aux
+        return bank_out, healthy, mask_rows(healthy, aux)
 
     return wrapped
 

@@ -82,12 +82,30 @@ def make_buffer(capacity: int, dim: int, maximum_delay: float, dtype=jnp.float64
     )
 
 
+def _as_buffer_ticks(buf: DelayedStates, ts_us) -> jax.Array:
+    """Reject integer timestamps of a different width instead of silently
+    casting: a buffer built under one x64 setting holds µs-int64 (or ms-int32)
+    ticks, and a ``from_seconds`` result from the other setting is in a
+    DIFFERENT UNIT — an int64→int32 cast would also wrap modulo 2³², making
+    ``closest`` fuse against an arbitrary entry. Dtypes are static under
+    tracing, so raising here is jit-safe."""
+    ts = jnp.asarray(ts_us)
+    if jnp.issubdtype(ts.dtype, jnp.integer) and ts.dtype != buf.timestamps.dtype:
+        raise TypeError(
+            f"timestamp dtype {ts.dtype} does not match the buffer's tick dtype "
+            f"{buf.timestamps.dtype}; the buffer was created under a different "
+            f"x64 setting (int64 µs vs int32 ms ticks) — rebuild it, or produce "
+            f"the timestamp with from_seconds under the current setting"
+        )
+    return ts.astype(buf.timestamps.dtype)
+
+
 def push(buf: DelayedStates, ts_us: jax.Array, value: jax.Array, cov: jax.Array) -> DelayedStates:
     """``pushState(ts, state, cov)`` — overwrite the oldest slot."""
     i = buf.head
     n = buf.timestamps.shape[0]
     return buf._replace(
-        timestamps=buf.timestamps.at[i].set(jnp.asarray(ts_us, buf.timestamps.dtype)),
+        timestamps=buf.timestamps.at[i].set(_as_buffer_ticks(buf, ts_us)),
         values=buf.values.at[i].set(value),
         covs=buf.covs.at[i].set(cov),
         head=(i + 1) % n,
@@ -105,7 +123,7 @@ def closest(buf: DelayedStates, ts_us: jax.Array):
     n = buf.timestamps.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     valid = idx < buf.count  # slots written at least once (head wraps ⇒ all valid)
-    dist = jnp.abs(buf.timestamps - jnp.asarray(ts_us, buf.timestamps.dtype))
+    dist = jnp.abs(buf.timestamps - _as_buffer_ticks(buf, ts_us))
     big = jnp.iinfo(buf.timestamps.dtype).max
     dist = jnp.where(valid, dist, big)
     best = jnp.argmin(dist)

@@ -41,13 +41,16 @@ def nees(error: jax.Array, cov: jax.Array) -> jax.Array:
 def covariance_condition(cov: jax.Array) -> jax.Array:
     """Condition number via eigvalsh — divergence early-warning.
 
-    A collapsed covariance (smallest |eigenvalue| exactly 0) reports ``inf``,
-    not NaN: the guard divisor must be representable in the working dtype (a
-    1e-300 literal underflows to 0.0 in float32, turning the flagged case
-    into 0/0 on the TPU f32 path)."""
-    w = jnp.linalg.eigvalsh(cov)
-    num = jnp.abs(w[..., -1])
-    den = jnp.abs(w[..., 0])
+    Extremes are taken over eigenvalue MAGNITUDES, not signed values: an
+    indefinite covariance (f32 cancellation flipping an eigenvalue to -1000)
+    must report a huge condition number, not treat -1000 as the "smallest"
+    eigenvalue and read as well-conditioned. A collapsed covariance (some
+    |eigenvalue| exactly 0) reports ``inf``, not NaN: the guard divisor must
+    be representable in the working dtype (a 1e-300 literal underflows to
+    0.0 in float32, turning the flagged case into 0/0 on the TPU f32 path)."""
+    w = jnp.abs(jnp.linalg.eigvalsh(cov))
+    num = jnp.max(w, axis=-1)
+    den = jnp.min(w, axis=-1)
     tiny = jnp.asarray(jnp.finfo(w.dtype).tiny, w.dtype)
     return jnp.where(den > 0, num / jnp.maximum(den, tiny), jnp.inf)
 

@@ -70,6 +70,8 @@ class Throughput:
         self._steps += n
 
     def rate(self, sync_on=None) -> float:
+        if self._t0 is None:
+            raise RuntimeError("Throughput.rate() called before start()")
         if sync_on is not None:
             jax.block_until_ready(sync_on)
         dt = time.perf_counter() - self._t0

@@ -32,25 +32,63 @@ def check_measurement(mu, cov) -> None:
             raise ValueError("measurement covariance is not symmetric")
         if np.any(np.diag(cov) < 0):
             raise ValueError("measurement covariance has negative variance")
+    elif np.any(cov < 0):  # variance vector / scalar
+        raise ValueError("measurement covariance has negative variance")
 
 
-def measurement_valid(mu, cov) -> jnp.ndarray:
+def measurement_valid(mu, cov, *, banked: bool | None = None) -> jnp.ndarray:
     """Traced-safe validity mask: finite mean/cov and non-negative variances.
 
     Use as an additional gate mask in batched update paths (invalid ⇒ the
     masked update leaves the instance untouched, the batch equivalent of the
-    reference's exception). Rank-aware: a ``(d,)``/``(d,d)`` measurement
-    yields a scalar mask; a batched ``(B,d)``/``(B,d,d)`` bank yields a
-    ``(B,)`` per-instance mask, and only the DIAGONAL of a covariance matrix
-    must be non-negative (off-diagonal correlations may be negative)."""
+    reference's exception). A single ``(d,)`` measurement yields a scalar
+    mask; a batched ``(B,d)`` bank yields a ``(B,)`` per-instance mask. Only
+    the DIAGONAL of a covariance matrix must be non-negative (off-diagonal
+    correlations may be negative).
+
+    ``banked`` disambiguates shapes that rank alone cannot: by default the
+    MEAN's rank decides (``mu.ndim >= 2`` ⇒ banked), so a ``(B,)`` bank of
+    scalar measurements needs an explicit ``banked=True`` or its mask would
+    collapse to one bool for the whole bank. A ``(B,d)`` covariance is read
+    as per-instance variance vectors whenever its shape equals ``mu``'s —
+    including the ``B == d`` case a bare square-shape test would misroute to
+    the shared-matrix branch, silently skipping per-instance negativity
+    checks."""
     mu = jnp.asarray(mu)
     cov = jnp.asarray(cov)
-    ok_mu = jnp.all(jnp.isfinite(mu), axis=-1) if mu.ndim else jnp.isfinite(mu)
-    if cov.ndim >= 2 and cov.shape[-1] == cov.shape[-2]:
-        diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
-        ok_cov = jnp.all(jnp.isfinite(cov), axis=(-2, -1)) & jnp.all(diag >= 0, axis=-1)
-    elif cov.ndim:  # variance vector
-        ok_cov = jnp.all(jnp.isfinite(cov) & (cov >= 0), axis=-1)
+    if banked is None:
+        banked = mu.ndim >= 2
+    bank_axes = 1 if banked else 0
+
+    ok_mu = jnp.all(jnp.isfinite(mu), axis=tuple(range(bank_axes, mu.ndim)))
+
+    def matrix_ok(c):
+        diag = jnp.diagonal(c, axis1=-2, axis2=-1)
+        return jnp.all(jnp.isfinite(c), axis=(-2, -1)) & jnp.all(diag >= 0, axis=-1)
+
+    def variances_ok(c, axes):
+        return jnp.all(jnp.isfinite(c) & (c >= 0), axis=axes)
+
+    scalar_meas = mu.ndim <= bank_axes  # measurement dim d absent (scalar z)
+    if banked:
+        b = mu.shape[0]
+        if cov.ndim == 3:  # (B, d, d) per-instance matrices
+            ok_cov = matrix_ok(cov)
+        elif cov.ndim == 2 and not scalar_meas and cov.shape == mu.shape:
+            ok_cov = variances_ok(cov, -1)  # (B, d) per-instance variance vectors
+        elif cov.ndim == 2:  # shared (d, d) matrix for the whole bank
+            ok_cov = matrix_ok(cov)
+        elif cov.ndim == 1 and scalar_meas and cov.shape[0] == b:
+            ok_cov = variances_ok(cov, ())  # (B,) per-instance scalar variances
+        elif cov.ndim == 1:  # shared (d,) variance vector
+            ok_cov = variances_ok(cov, -1)
+        else:  # shared scalar variance
+            ok_cov = variances_ok(cov, ())
     else:
-        ok_cov = jnp.isfinite(cov) & (cov >= 0)
+        if cov.ndim == 2:
+            ok_cov = matrix_ok(cov)
+        elif cov.ndim == 1:
+            ok_cov = variances_ok(cov, -1)
+        else:
+            ok_cov = variances_ok(cov, ())
     return ok_mu & ok_cov

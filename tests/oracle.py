@@ -175,9 +175,10 @@ def oracle_update(manifold, mu, cov, z, h, R, gate=None):
     S = 0.5 * dZ.T @ dZ + R
     DX = np.stack([manifold.boxminus(x, mu) for x in X])
     C = 0.5 * DX.T @ dZ
-    K = C @ np.linalg.inv(S)
+    S_inv = np.linalg.inv(S)
+    K = C @ S_inv
     nu = np.ravel(z) - z_mean
-    m2 = nu @ np.linalg.inv(S) @ nu
+    m2 = nu @ S_inv @ nu
     if gate is not None and m2 > gate:
         return mu, cov, m2, False
     return manifold.boxplus(mu, K @ nu), cov - K @ S @ K.T, m2, True
@@ -202,18 +203,16 @@ def oracle_calc_efforts(M, Dl, Dq, W, B, cog, cob, acc, vel, q):
 
 
 def oracle_sim_step(M, Dl, Dq, W, B, cog, cob, state, tau, dt, integrate_pose=True):
-    """state = dict(position, orientation, linear_velocity, angular_velocity)"""
+    """state = dict(position, orientation, linear_velocity, angular_velocity)
+
+    Forward dynamics by inverting the inverse-dynamics oracle: with acc = 0,
+    ``oracle_calc_efforts`` returns exactly the coriolis+damping+gravity sum,
+    so M·acc = tau − efforts(acc=0). One copy of the effort-term physics."""
     vel = np.concatenate([state["linear_velocity"], state["angular_velocity"]])
-    v, w = vel[:3], vel[3:]
-    p1 = M[:3] @ vel
-    p2 = M[3:] @ vel
-    coriolis = np.concatenate([np.cross(w, p1), np.cross(w, p2) + np.cross(v, p1)])
-    damping = Dl @ vel + Dq @ (np.abs(vel) * vel)
-    up = q_to_mat(state["orientation"]).T @ np.array([0.0, 0.0, 1.0])
-    g = -np.concatenate(
-        [up * (B - W), np.cross(cog, -up * W) + np.cross(cob, up * B)]
+    bias = oracle_calc_efforts(
+        M, Dl, Dq, W, B, cog, cob, np.zeros(6), vel, state["orientation"]
     )
-    acc = np.linalg.solve(M, tau - coriolis - damping - g)
+    acc = np.linalg.solve(M, tau - bias)
     lin = state["linear_velocity"] + dt * acc[:3]
     ang = state["angular_velocity"] + dt * acc[3:]
     out = dict(state)

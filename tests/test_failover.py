@@ -140,3 +140,57 @@ def test_guarded_accepts_bare_state_step():
     masked_out = bank.masked(upd)(bstate, jnp.array([True, False]))
     np.testing.assert_array_equal(np.asarray(masked_out.cov[1]), np.asarray(bstate.cov[1]))
     assert float(jnp.max(jnp.abs(masked_out.cov[0] - bstate.cov[0]))) > 0.0
+
+
+def test_guarded_scrubs_aux_rows_of_dead_instances():
+    """aux for a rolled-back instance must not leak the diverged step's NaN
+    telemetry into driver-side reductions (numbers→0, booleans→False)."""
+    from typing import NamedTuple
+
+    class TinyState(NamedTuple):
+        mu: jnp.ndarray  # (B, 2)
+        cov: jnp.ndarray  # (B, 2, 2)
+
+    bs0 = TinyState(mu=jnp.zeros((3, 2)), cov=jnp.tile(jnp.eye(2)[None], (3, 1, 1)))
+
+    def step(bs):
+        # instance 1 diverges: NaN state, NaN metric, accepted=True
+        v = bs._replace(mu=bs.mu.at[1].set(jnp.nan))
+        metric = jnp.array([1.0, jnp.nan, 3.0])
+        accepted = jnp.array([True, True, True])
+        return v, (metric, accepted)
+
+    out, healthy, (metric, accepted) = failover.guarded(step)(bs0)
+    np.testing.assert_array_equal(np.asarray(healthy), [True, False, True])
+    np.testing.assert_allclose(np.asarray(metric), [1.0, 0.0, 3.0])
+    np.testing.assert_array_equal(np.asarray(accepted), [True, False, True])
+    assert np.isfinite(np.asarray(out.mu)).all()
+    # a scalar (non-banked) aux leaf passes through untouched
+    def step2(bs):
+        return bs._replace(mu=bs.mu.at[0].set(jnp.nan)), jnp.asarray(7.0)
+
+    _, _, aux2 = failover.guarded(step2)(bs0)
+    assert float(aux2) == 7.0
+
+
+def test_masked_update_scrubs_info_of_invalid_instances():
+    """bank.masked must mask the info record too — a discarded update's
+    accepted flag / NaN NIS must not surface (phantom acceptances)."""
+    from slam_uwv_kalman_filters_tpu.ops.ukf import UpdateInfo
+
+    def update(state, z):
+        info = UpdateInfo(
+            mahalanobis2=jnp.array([0.5, jnp.nan]),
+            accepted=jnp.array([True, True]),
+            innovation=jnp.full((2, 3), jnp.nan),
+        )
+        return state + z, info
+
+    state = jnp.zeros((2, 4))
+    valid = jnp.array([True, False])
+    out, info = bank.masked(update)(state, valid, jnp.ones((2, 4)))
+    np.testing.assert_allclose(np.asarray(out[1]), 0.0)  # state rolled back
+    np.testing.assert_allclose(np.asarray(out[0]), 1.0)
+    assert not bool(info.accepted[1]) and bool(info.accepted[0])
+    assert float(info.mahalanobis2[1]) == 0.0
+    assert np.isfinite(np.asarray(info.innovation[1])).all()

@@ -224,3 +224,68 @@ def test_trace_host_tracer_level(tmp_path):
     with tracing.trace(str(tmp_path), host_tracer_level=1):
         jax.block_until_ready(jnp.ones(8) * 2.0)
     assert any(tmp_path.rglob("*")), "no trace output written"
+
+
+def test_measurement_valid_ambiguous_and_banked_shapes():
+    """Shape-dispatch regressions: a (B,d) variance bank with B==d must be
+    read per-instance (not as one (d,d) matrix), and a (B,) scalar bank needs
+    banked=True to avoid collapsing to a single bool."""
+    from slam_uwv_kalman_filters_tpu.utils import validation
+
+    # B == d == 3: per-instance variance vectors, one negative entry
+    mu = jnp.zeros((3, 3))
+    var = jnp.ones((3, 3)).at[0, 1].set(-4.0)
+    mask = validation.measurement_valid(mu, var)
+    np.testing.assert_array_equal(np.asarray(mask), [False, True, True])
+    # shared (d,d) matrix for a (B,d) bank with B != d still broadcasts
+    mask2 = validation.measurement_valid(jnp.zeros((4, 3)), jnp.eye(3))
+    assert np.asarray(mask2).shape in ((), (4,)) and bool(np.all(mask2))
+    # (B,) scalar-measurement bank: explicit banked=True gives per-instance
+    z = jnp.array([0.0, jnp.nan, 1.0])
+    r = jnp.array([1.0, 1.0, -1.0])
+    mask3 = validation.measurement_valid(z, r, banked=True)
+    np.testing.assert_array_equal(np.asarray(mask3), [True, False, False])
+
+
+def test_check_measurement_variance_vector_negative_raises():
+    from slam_uwv_kalman_filters_tpu.utils import validation
+
+    try:
+        validation.check_measurement(np.zeros(2), np.array([1.0, -1.0]))
+        assert False, "expected ValueError for negative variance vector"
+    except ValueError:
+        pass
+
+
+def test_covariance_condition_uses_magnitudes():
+    """An indefinite covariance (negative eigenvalue from f32 cancellation)
+    must report a HUGE condition number, not read as well-conditioned."""
+    c = jnp.diag(jnp.array([-1000.0, 1.0]))
+    assert float(metrics.covariance_condition(c)) == 1000.0
+    # interior zero eigenvalue → inf even when not the signed-smallest
+    c0 = jnp.diag(jnp.array([-5.0, 0.0, 3.0]))
+    assert np.isinf(float(metrics.covariance_condition(c0)))
+
+
+def test_delayed_states_rejects_mismatched_tick_dtype():
+    """A buffer built under one x64 setting queried with the other setting's
+    integer ticks must raise, not silently wrap/mix units."""
+    buf = ds.make_buffer(4, 2, 1.0)
+    wrong = jnp.zeros((), jnp.int32 if buf.timestamps.dtype == jnp.int64 else jnp.int64)
+    try:
+        ds.closest(buf, wrong)
+        assert False, "expected TypeError for mismatched tick dtype"
+    except TypeError:
+        pass
+
+
+def test_throughput_rate_before_start_raises():
+    from slam_uwv_kalman_filters_tpu.utils.tracing import Throughput
+
+    t = Throughput()
+    t.add(5)
+    try:
+        t.rate()
+        assert False, "expected RuntimeError before start()"
+    except RuntimeError:
+        pass
