@@ -22,7 +22,7 @@ accuracy; parity pinned by ``tests/test_pose_fused.py``.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, TYPE_CHECKING
+from typing import Callable, NamedTuple, Sequence, TYPE_CHECKING
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,8 @@ __all__ = [
     "update_model_lanes",
     "update_velocity_lanes",
     "update_velocity_fused_banked",
+    "StepUpdate",
+    "step_lanes",
     "step_velocity_lanes",
 ]
 
@@ -409,81 +411,108 @@ def _pose_update_model_lanes(model, z_t, r_t, mu_t, cov_t, scal, *, interpret):
     )(z_t, r_t, mu_t, cov_t, scal)
 
 
-def _make_step_velocity_kernel():
+def _make_step_kernel(models: tuple[str, ...]):
     """Whole filter step in ONE launch: predict (full process model) into
-    VMEM scratch, then the DVL update (fresh sigma deltas from the predicted
-    covariance + in-kernel h + shared tail). The predicted covariance never
-    reaches HBM — vs the two-launch chain this saves a full write + read of
-    the (53, 53, B) covariance per step (~0.75 GB at a 32k bank)."""
+    VMEM scratch, then a chain of in-kernel measurement updates — each with
+    fresh sigma deltas from the current covariance (ukfom convention:
+    ``update`` re-draws sigma points, ``src/PoseUKF.cpp:479-481``), the
+    in-kernel h and the shared linear-algebra tail. Neither the predicted
+    covariance nor any intermediate posterior reaches HBM — vs the
+    (1+K)-launch chain this saves 2K full covariance round-trips per step
+    (~0.75 GB each at a 32k bank) and cuts launch count to one.
+
+    Measured regime split (v5e, predict + DVL/pressure/XY chain): **1.23×
+    faster** than the jitted launch chain at a single-lane-tile bank (128
+    instances — the real-time few-vehicle regime, where per-launch overhead
+    dominates), ~4-7% slower at ≥4k banks (the ~23 MB VMEM working set
+    blocks the double-buffered pipelining the smaller chained kernels get).
+    Throughput banks should keep using the chain; see docs/DEPLOYMENT.md."""
     from .pose_fused import _pose_predict_body
 
-    m = 3
+    ms = [FUSED_MODELS[mdl] for mdl in models]
+    k_upd = len(models)
 
-    def kernel(
-        a_ref,  # (53, 53, B) prior covariance
-        mu_ref,  # (54, B) prior mean, storage layout
-        rr_ref,  # (3, B) cached rotation-rate input
-        coeff_ref,  # (54, 1) Markov coefficients
-        offs_ref,  # (54, 1) Markov rest points
-        q0m_ref,  # (53, 53, 1) dt²-scaled Q (orientation block zeroed)
-        scal_ref,  # (14, 1) SMEM predict scalars
-        z_ref,  # (3, B) measured velocity
-        r_ref,  # (3, 3, B) measurement covariance
-        thr_ref,  # (1, 1) SMEM gate threshold
-        covo_ref,  # out: (53, 53, B) posterior covariance
-        muo_ref,  # out: (54, B) posterior mean
-        m2_ref,  # out: (1, B)
-        acc_ref,  # out: (1, B)
-        nu_ref,  # out: (3, B)
-        y_ref,  # scratch: (107, 54, B) predict working set / update deltas
-        c_ref,  # scratch: (53, 53, B) Schur complement
-        covp_ref,  # scratch: (53, 53, B) predicted covariance (never leaves VMEM)
-        mup_ref,  # scratch: (54, B) predicted mean
-    ):
+    def kernel(*refs):
+        # inputs: a, mu, rr, coeff, offs, q0m, scal14, then per update k:
+        # z_k (m,B), r_k (m,m,B), scal6_k (6,1) SMEM [thr, aux×5]
+        (a_ref, mu_ref, rr_ref, coeff_ref, offs_ref, q0m_ref, scal_ref) = refs[:7]
+        zs = refs[7 : 7 + 3 * k_upd : 3]
+        rs = refs[8 : 8 + 3 * k_upd : 3]
+        scal6s = refs[9 : 9 + 3 * k_upd : 3]
+        off = 7 + 3 * k_upd
+        # outputs: covo, muo, then per update k: m2_k, acc_k, nu_k
+        covo_ref, muo_ref = refs[off : off + 2]
+        m2s = refs[off + 2 : off + 2 + 3 * k_upd : 3]
+        accs = refs[off + 3 : off + 3 + 3 * k_upd : 3]
+        nus = refs[off + 4 : off + 4 + 3 * k_upd : 3]
+        # scratch: predict working set, Schur complement, running cov/mean
+        y_ref, c_ref, covp_ref, mup_ref = refs[off + 2 + 3 * k_upd :]
+
         n = TANGENT_DIM
         b = a_ref.shape[-1]
         _pose_predict_body(
             False, a_ref, mu_ref, rr_ref, coeff_ref, offs_ref, q0m_ref,
             scal_ref, covp_ref, mup_ref, y_ref, c_ref,
         )
-        # fresh sigma deltas from the predicted covariance (ukfom convention)
-        y_ref[0, 0:n] = jnp.zeros((n, b), a_ref.dtype)
 
         def write_column(j, final):
             y_ref[2 * j + 1, 0:n] = final
             y_ref[2 * j + 2, 0:n] = -final
 
-        equilibrated_sigma_columns(covp_ref, c_ref, write_column)
-        mu = mup_ref[:]
-        dzc, zm = _centered_measurement("velocity", mu, y_ref, (0.0,) * 5)
-        z_in = z_ref[:]
-        nu = jnp.concatenate([z_in[a : a + 1] - zm[a] for a in range(m)], axis=0)
-        nu_ref[:] = nu
-        _update_tail(
-            m, y_ref, dzc, nu, r_ref[:], mu, thr_ref[0, 0],
-            covp_ref, covo_ref, muo_ref, m2_ref, acc_ref,
-        )
+        for k, model in enumerate(models):
+            m = ms[k]
+            # fresh sigma deltas from the current covariance; the running
+            # covp/mup are updated in place (the tail loads cov/mu as values
+            # before storing, so aliasing cov_ref = covo_ref is safe), with
+            # the last update writing the kernel outputs instead
+            y_ref[0, 0:n] = jnp.zeros((n, b), a_ref.dtype)
+            equilibrated_sigma_columns(covp_ref, c_ref, write_column)
+            mu = mup_ref[:]
+            aux = tuple(scal6s[k][1 + i, 0] for i in range(5))
+            dzc, zm = _centered_measurement(model, mu, y_ref, aux)
+            z_in = zs[k][:]
+            nu = jnp.concatenate([z_in[a : a + 1] - zm[a] for a in range(m)], axis=0)
+            nus[k][:] = nu
+            last = k == k_upd - 1
+            _update_tail(
+                m, y_ref, dzc, nu, rs[k][:], mu, scal6s[k][0, 0],
+                covp_ref, covo_ref if last else covp_ref,
+                muo_ref if last else mup_ref, m2s[k], accs[k],
+            )
 
     return kernel
 
 
-def _pose_step_velocity_lanes(
-    cov_t, mu_t, rr_t, coeff, offs, q0m, scal, z_t, r_t, thr, *, interpret
-):
+def _pose_step_lanes(models, cov_t, mu_t, rr_t, coeff, offs, q0m, scal,
+                     z_ts, r_ts, scal6s, *, interpret):
     nb = cov_t.shape[-1]
     n = TANGENT_DIM
-    m = 3
+    ms = [FUSED_MODELS[mdl] for mdl in models]
     lane_spec = kernels.lane_block_spec
     full_spec = kernels.full_block_spec
-    return pl.pallas_call(
-        _make_step_velocity_kernel(),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, n, nb), cov_t.dtype),
-            jax.ShapeDtypeStruct((STORAGE_DIM, nb), cov_t.dtype),
+    meas_in_specs = []
+    meas_ops = []
+    out_shapes = [
+        jax.ShapeDtypeStruct((n, n, nb), cov_t.dtype),
+        jax.ShapeDtypeStruct((STORAGE_DIM, nb), cov_t.dtype),
+    ]
+    out_specs = [lane_spec(n, n), lane_spec(STORAGE_DIM)]
+    for k, m in enumerate(ms):
+        meas_in_specs += [
+            lane_spec(m),
+            lane_spec(m, m),
+            pl.BlockSpec((6, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ]
+        meas_ops += [z_ts[k], r_ts[k], scal6s[k]]
+        out_shapes += [
             jax.ShapeDtypeStruct((1, nb), cov_t.dtype),
             jax.ShapeDtypeStruct((1, nb), cov_t.dtype),
             jax.ShapeDtypeStruct((m, nb), cov_t.dtype),
-        ),
+        ]
+        out_specs += [lane_spec(1), lane_spec(1), lane_spec(m)]
+    return pl.pallas_call(
+        _make_step_kernel(tuple(models)),
+        out_shape=tuple(out_shapes),
         grid=(nb // LANE_TILE,),
         in_specs=[
             lane_spec(n, n),
@@ -493,17 +522,9 @@ def _pose_step_velocity_lanes(
             full_spec(STORAGE_DIM, 1),
             full_spec(n, n, 1),
             pl.BlockSpec((14, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            lane_spec(m),
-            lane_spec(m, m),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            *meas_in_specs,
         ],
-        out_specs=(
-            lane_spec(n, n),
-            lane_spec(STORAGE_DIM),
-            lane_spec(1),
-            lane_spec(1),
-            lane_spec(m),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((NSIG, STORAGE_DIM, LANE_TILE), cov_t.dtype),
             pltpu.VMEM((n, n, LANE_TILE), cov_t.dtype),
@@ -515,7 +536,79 @@ def _pose_step_velocity_lanes(
         # budget but well inside the physical VMEM; raise the cap
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, z_t, r_t, thr)
+    )(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *meas_ops)
+
+
+class StepUpdate(NamedTuple):
+    """One measurement in a fused whole-step chain (:func:`step_lanes`).
+    ``model`` must be an in-kernel model (:data:`FUSED_MODELS`); ``aux`` is
+    the model's static-scalar tuple (same convention as
+    :func:`update_model_lanes` — e.g. ``(p_atm, lx, ly, lz)`` for pressure,
+    ``(cell_weighting,)`` for water_velocity)."""
+
+    model: str
+    z: jax.Array  # (B, m)
+    meas_cov: jax.Array  # (B, m, m) or (m, m)
+    gate_threshold: float | None = None
+    aux: tuple = ()
+
+
+def step_lanes(
+    lstate,
+    params: "PoseUKFParams",
+    dt,
+    updates: Sequence[StepUpdate],
+    *,
+    interpret: bool = False,
+):
+    """One whole filter step — predict(dt) + a chain of measurement updates —
+    in a single kernel launch on kernel-layout state (shared parameter set).
+    The steady-state production loop at its shortest: the predicted and all
+    intermediate covariances live only in VMEM. Each update re-draws sigma
+    points from the then-current covariance, exactly like dispatching the
+    reference's ``predictionStep`` + sequential ``integrateMeasurement`` calls
+    (``src/PoseUKF.cpp:446-481``) — results are bit-identical to
+    ``predict_lanes`` followed by the matching chain of
+    :func:`update_model_lanes` calls. Returns
+    ``(LanesBankState, [UpdateInfo, ...])`` in update order."""
+    from .pose_fused import _predict_operands_shared
+
+    updates = [u if isinstance(u, StepUpdate) else StepUpdate(*u) for u in updates]
+    if not updates:
+        raise ValueError("step_lanes needs at least one measurement update")
+    dtype = lstate.cov_t.dtype
+    nb_pad = lstate.cov_t.shape[-1]
+    nb = updates[0].z.shape[0]
+    pad = nb_pad - nb
+    coeff, offs, q0m, scal = _predict_operands_shared(params, dt, dtype)
+    z_ts, r_ts, scal6s = [], [], []
+    for u in updates:
+        m = FUSED_MODELS[u.model]
+        z = jnp.asarray(u.z, dtype)
+        if z.shape[0] != nb:
+            raise ValueError(
+                f"inconsistent bank sizes across step updates: {z.shape[0]} vs {nb}"
+            )
+        meas_cov = jnp.broadcast_to(jnp.asarray(u.meas_cov, dtype), (nb, m, m))
+        z, meas_cov = _pad_measurement(z, meas_cov, pad, m, dtype)
+        z_ts.append(z.T)
+        r_ts.append(jnp.transpose(meas_cov, (1, 2, 0)))
+        scal6s.append(_scal_block(u.gate_threshold, u.aux, dtype))
+    outs = _pose_step_lanes(
+        tuple(u.model for u in updates),
+        lstate.cov_t, lstate.mu_t, lstate.rr_t, coeff, offs, q0m, scal,
+        z_ts, r_ts, scal6s, interpret=interpret,
+    )
+    covo_t, muo_t = outs[:2]
+    infos = []
+    for k in range(len(updates)):
+        m2, acc, nu_t = outs[2 + 3 * k : 5 + 3 * k]
+        infos.append(
+            ukf.UpdateInfo(
+                mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=nu_t.T[:nb]
+            )
+        )
+    return lstate._replace(cov_t=covo_t, mu_t=muo_t), infos
 
 
 def step_velocity_lanes(
@@ -529,29 +622,14 @@ def step_velocity_lanes(
     interpret: bool = False,
 ):
     """One whole filter step — predict(dt) + DVL velocity update — in a
-    single kernel launch on kernel-layout state (shared parameter set).
-    The steady-state production loop at its shortest: the predicted
-    covariance lives only in VMEM. Returns ``(LanesBankState, UpdateInfo)``."""
-    from .pose_fused import _predict_operands_shared
-
-    dtype = lstate.cov_t.dtype
-    nb_pad = lstate.cov_t.shape[-1]
-    nb = z.shape[0]
-    pad = nb_pad - nb
-    m = 3
-    coeff, offs, q0m, scal = _predict_operands_shared(params, dt, dtype)
-    z = jnp.asarray(z, dtype)
-    meas_cov = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, m, m))
-    z, meas_cov = _pad_measurement(z, meas_cov, pad, m, dtype)
-    thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)
-    covo_t, muo_t, m2, acc, nu_t = _pose_step_velocity_lanes(
-        lstate.cov_t, lstate.mu_t, lstate.rr_t, coeff, offs, q0m, scal,
-        z.T, jnp.transpose(meas_cov, (1, 2, 0)), thr, interpret=interpret,
+    single kernel launch (the ``updates=[velocity]`` case of
+    :func:`step_lanes`). Returns ``(LanesBankState, UpdateInfo)``."""
+    out, infos = step_lanes(
+        lstate, params, dt,
+        [StepUpdate("velocity", z, meas_cov, gate_threshold)],
+        interpret=interpret,
     )
-    info = ukf.UpdateInfo(
-        mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=nu_t.T[:nb]
-    )
-    return lstate._replace(cov_t=covo_t, mu_t=muo_t), info
+    return out, infos[0]
 
 
 def _pad_measurement(z, meas_cov, pad, m, dtype):

@@ -635,3 +635,66 @@ def test_fused_update_pins_f64_h_output_to_state_dtype():
         ("orientation", "velocity"), None, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=0)
+
+
+def test_step_lanes_multi_sensor_matches_chain():
+    """The generalized single-launch step (predict + a chain of in-kernel
+    updates, step_lanes) is bit-identical to predict_lanes followed by the
+    matching update_model_lanes calls — same kernels composed in one launch,
+    each update re-drawing sigma points from the then-current covariance."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    nb = 2
+    bstate, params = _make_bank(nb)
+    z_dvl = jnp.asarray(RNG.normal(scale=0.5, size=(nb, 3)), jnp.float32)
+    r_dvl = jnp.eye(3, dtype=jnp.float32) * 1e-3
+    z_p = jnp.asarray(RNG.normal(loc=101325.0, scale=2e4, size=(nb, 1)), jnp.float32)
+    r_p = jnp.eye(1, dtype=jnp.float32) * 1e2
+    z_xy = jnp.asarray(RNG.normal(scale=1.0, size=(nb, 2)), jnp.float32)
+    r_xy = jnp.eye(2, dtype=jnp.float32) * 1e-2
+    p_aux = (params.atmospheric_pressure, 0.0, 0.0, 0.0)
+
+    ls0 = pose_fused.to_lanes(bstate)
+    a = pose_fused.predict_lanes(ls0, params, 0.05, interpret=True)
+    a, ai0 = puf.update_model_lanes("velocity", a, z_dvl, r_dvl, None, interpret=True)
+    a, ai1 = puf.update_model_lanes("pressure", a, z_p, r_p, None, p_aux, interpret=True)
+    a, ai2 = puf.update_model_lanes("xy_position", a, z_xy, r_xy, 5.991, interpret=True)
+
+    b, infos = puf.step_lanes(
+        ls0, params, 0.05,
+        [
+            puf.StepUpdate("velocity", z_dvl, r_dvl),
+            puf.StepUpdate("pressure", z_p, r_p, aux=p_aux),
+            puf.StepUpdate("xy_position", z_xy, r_xy, gate_threshold=5.991),
+        ],
+        interpret=True,
+    )
+    assert len(infos) == 3
+    ao, bo = pose_fused.from_lanes(a, bstate), pose_fused.from_lanes(b, bstate)
+    np.testing.assert_array_equal(np.asarray(bo.cov), np.asarray(ao.cov))
+    np.testing.assert_array_equal(np.asarray(bo.mu.position), np.asarray(ao.mu.position))
+    np.testing.assert_array_equal(np.asarray(bo.mu.orientation), np.asarray(ao.mu.orientation))
+    for got, want in zip(infos, (ai0, ai1, ai2)):
+        np.testing.assert_array_equal(np.asarray(got.mahalanobis2), np.asarray(want.mahalanobis2))
+        np.testing.assert_array_equal(np.asarray(got.accepted), np.asarray(want.accepted))
+        np.testing.assert_array_equal(np.asarray(got.innovation), np.asarray(want.innovation))
+
+
+def test_step_lanes_validates_inputs():
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+    import pytest
+
+    bstate, params = _make_bank(2)
+    ls0 = pose_fused.to_lanes(bstate)
+    with pytest.raises(ValueError, match="at least one"):
+        puf.step_lanes(ls0, params, 0.05, [])
+    z3 = jnp.zeros((3, 3), jnp.float32)  # bank of 3 into a bank-of-2 state
+    z2 = jnp.zeros((2, 1), jnp.float32)
+    with pytest.raises(ValueError, match="inconsistent bank"):
+        puf.step_lanes(
+            ls0, params, 0.05,
+            [
+                puf.StepUpdate("velocity", jnp.zeros((2, 3), jnp.float32), jnp.eye(3)),
+                puf.StepUpdate("z_position", z3[:, :1], jnp.eye(1)),
+            ],
+        )
