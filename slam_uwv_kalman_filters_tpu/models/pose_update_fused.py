@@ -11,7 +11,9 @@ copies dominate. This path keeps everything bank-on-lanes:
 3. ``_pose_update_lanes`` (here): S = ½ΣdZdZᵀ + R, cross-covariance
    C = ½ΣδdZᵀ, the m×m Cholesky solve unrolled on lanes, the Mahalanobis
    gate, the manifold state correction (flats + quaternion boxplus) and the
-   exactly-symmetric covariance downdate cov − W·Wᵀ (W = K·chol(S)) — one
+   covariance downdate cov − W·Wᵀ (W = K·chol(S)), written half-triangle
+   like the predict reconstruct (the outer product is exactly symmetric, so
+   the public-API mirror rebuilds the full matrix bit-identically) — one
    kernel launch for the whole bank.
 
 Generic over the measurement model because ``h`` never enters the kernel;
@@ -40,6 +42,7 @@ from .pose_fused import (
     NSIG,
     STORAGE_DIM,
     TANGENT_DIM,
+    _mirror_half,
     _pack_storage,
     _pad_bank,
     _qexp,
@@ -175,13 +178,16 @@ def _update_tail(m, d_ref, dzc, nu, r, mu, thr, cov_ref, covo_ref, muo_ref, m2_r
     muo_ref[5:6] = jnp.where(acc_b, qy[0], mu[5:6])
     muo_ref[6:7] = jnp.where(acc_b, qz[0], mu[6:7])
 
-    # covariance downdate: cov − Σᵢ Wᵢ⊗Wᵢ (exactly symmetric), gated
-    T = None
-    for i in range(m):
-        o = W[i][:, None, :] * W[i][None, :, :]  # (53, 53, B)
-        T = o if T is None else T + o
-    cov_prior = cov_ref[:]
-    covo_ref[:] = jnp.where(acc_b[None], cov_prior - T, cov_prior)
+    # covariance downdate: cov − Σᵢ Wᵢ⊗Wᵢ, half-triangle only (row ≥ col in
+    # the (col, row, B) layout — the same half the predict reconstruct writes
+    # and the only half any fused consumer reads; the outer product is
+    # exactly symmetric, so the public-API mirror reproduces the full matrix
+    # bit-identically). vs the full-matrix version this halves the downdate
+    # FMAs/VMEM writes and drops the (53, 53, B) T temp from the VMEM stack.
+    for nn in range(TANGENT_DIM):
+        cp = cov_ref[nn, nn:]  # (53-nn, B) column tail of the prior
+        t = sum(W[i][nn : nn + 1] * W[i][nn:] for i in range(m))
+        covo_ref[nn, nn:] = jnp.where(acc_b, cp - t, cp)
 
 
 
@@ -682,7 +688,7 @@ def update_model_fused_banked(
         _scal_block(gate_threshold, aux, dtype),
         interpret=interpret,
     )
-    cov_out = jnp.transpose(covo_t, (2, 1, 0))[:nb]
+    cov_out = jnp.transpose(_mirror_half(covo_t), (2, 1, 0))[:nb]
     mu_out = _unpack_storage(muo_t.T[:nb], bstate.mu)
     info = ukf.UpdateInfo(
         mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=nu_t.T[:nb]
@@ -831,7 +837,7 @@ def update_fused_banked(
     covo_t, muo_t, m2, acc = _pose_update_lanes(
         deltas_t, dz_t, nu_t, r_t, mu_s.T, cov_t, thr, interpret=interpret
     )
-    cov_out = jnp.transpose(covo_t, (2, 1, 0))[:nb]
+    cov_out = jnp.transpose(_mirror_half(covo_t), (2, 1, 0))[:nb]
     mu_out = _unpack_storage(muo_t.T[:nb], bstate.mu)
     info = ukf.UpdateInfo(
         mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=innovation
