@@ -345,14 +345,13 @@ def _pose_predict_body(
     # mirrored in XLA at the public boundary (_mirror_half; the lanes
     # protocol defers it to from_lanes). This phase is VPU-FMA-bound; halving
     # the range cuts its work ~1.8x (padded-sublane average 31 vs 56).
-    for nn in range(TANGENT_DIM):
-        acc = None
-        for lo, hi in ((0, 54), (54, NSIG)):
-            part = jnp.sum(y_ref[lo:hi, nn:53] * y_ref[lo:hi, nn, :][:, None, :], axis=0)
-            acc = part if acc is None else acc + part
+    # (Column-pair register blocking was tried and measured 11% SLOWER: the
+    # shared-slab variant's off-by-one sub-slices are sublane-misaligned and
+    # Mosaic's shifts cost more than the saved read.)
+    def _finish_column(nn, acc):
         if banked_params:
             cov_ref[nn, nn:53] = 0.5 * acc  # raw reconstruction; Q added in XLA
-            continue
+            return
         acc = 0.5 * acc + q0m_ref[nn, nn:53]  # q0m broadcast over lanes
         if 3 <= nn < 6:
             # rotated-orientation noise block entries (nn, c) for c in nn..5;
@@ -362,6 +361,13 @@ def _pose_predict_body(
         if 46 <= nn < 50:
             acc = jnp.concatenate([acc[0:1] + wvq, acc[1:]], axis=0)
         cov_ref[nn, nn:53] = acc
+
+    for nn in range(TANGENT_DIM):
+        acc = None
+        for lo, hi in ((0, 54), (54, NSIG)):
+            part = jnp.sum(y_ref[lo:hi, nn:53] * y_ref[lo:hi, nn, :][:, None, :], axis=0)
+            acc = part if acc is None else acc + part
+        _finish_column(nn, acc)
 
 
 def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret,
