@@ -16,7 +16,7 @@ the speedup of the batched TPU path over that single-instance CPU rate (the
 north-star target is ≥100×).
 
 Environment knobs: BENCH_BANK (default 32768; throughput keeps creeping up
-with bank size — ~2.8M steps/s at 32k, ~2.9M at 131k — but the larger
+with bank size — ~3.0M steps/s at 32k, a few % more at 131k — but the larger
 shapes' compile times are too variable for an unattended timed run),
 BENCH_ITERS (default 30), BENCH_DTYPE (float32 on TPU — f64 does not
 compile on this backend).

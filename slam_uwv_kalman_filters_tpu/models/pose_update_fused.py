@@ -129,15 +129,13 @@ def _update_tail(m, d_ref, dzc, nu, r, mu, thr, cov_ref, covo_ref, muo_ref, m2_r
     # (the explicit 0:TANGENT_DIM column slice lets d_ref be the 54-wide
     # predict scratch in the whole-step kernel; it is a no-op for the
     # 53-wide delta inputs of the standalone update kernels)
-    C = []
-    for a in range(m):
-        acc = None
-        for lo, hi in ((0, 54), (54, NSIG)):
-            part = jnp.sum(
-                d_ref[lo:hi, 0:TANGENT_DIM] * dzc[a][lo:hi][:, None, :], axis=0
-            )
-            acc = part if acc is None else acc + part
-        C.append(0.5 * acc)  # (53, B)
+    C = [None] * m
+    for lo, hi in ((0, 54), (54, NSIG)):
+        slab = d_ref[lo:hi, 0:TANGENT_DIM]  # one slab read shared by all m
+        for a in range(m):
+            part = jnp.sum(slab * dzc[a][lo:hi][:, None, :], axis=0)
+            C[a] = part if C[a] is None else C[a] + part
+    C = [0.5 * c for c in C]  # (53, B) each
 
     # W = K·L  solves K·S·Kᵀ = W·Wᵀ without forming S⁻¹:
     # K = C·S⁻¹ = C·L⁻ᵀ·L⁻¹ ⇒ W = K·L = C·L⁻ᵀ, i.e. L·Wᵀ = Cᵀ —
