@@ -16,6 +16,11 @@ The deployment shape the reference's ROCK component implements by hand
 
 Run:  python examples/online_estimator.py           # TPU (f32 fused kernels)
       python examples/online_estimator.py --cpu --bank 32 --rate 10
+      python examples/online_estimator.py --bank 128 --fused-step
+          # few-vehicle latency mode: predict + all of a tick's sensor
+          # updates in ONE kernel launch (pose_update_fused.step_lanes;
+          # measured end-to-end 7.6x vs 6.3x real time at 100 Hz x bank 128
+          # on a v5e — the 1.2x single-tile kernel win carried through)
 """
 
 from __future__ import annotations
@@ -65,6 +70,11 @@ def main(argv=None):
     p.add_argument("--rate", type=float, default=100.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument(
+        "--fused-step", action="store_true",
+        help="dispatch predict + the tick's sensor updates as ONE kernel "
+        "launch (step_lanes) — the small-bank latency mode",
+    )
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -107,7 +117,7 @@ def main(argv=None):
     state = pukf.integrate_rotation_rate(state, jnp.zeros(3, dtype))
     ls = pose_fused.to_lanes(bankmod.replicate(state, args.bank))
     print(f"backend={jax.default_backend()} bank={args.bank} "
-          f"native_packer={runtime.native_available()}")
+          f"native_packer={runtime.native_available()} fused_step={args.fused_step}")
 
     r_dvl = jnp.eye(3, dtype=dtype) * 1e-4
     r_press = jnp.eye(1, dtype=dtype) * 2500.0
@@ -129,6 +139,41 @@ def main(argv=None):
         out, _ = puf.update_model_lanes(
             "pressure", ls, z, r_press,
             aux=(params.atmospheric_pressure, 0.0, 0.0, 0.0),
+            interpret=interpret,
+        )
+        return out
+
+    # --fused-step: one launch per tick (predict + every sensor that arrived;
+    # one jitted variant per sensor combination, each compiled once)
+    press_aux = (params.atmospheric_pressure, 0.0, 0.0, 0.0)
+
+    @jax.jit
+    def tick_step_dvl(ls, rr, z):
+        ls = pose_fused.set_rotation_rate_lanes(ls, rr)
+        out, _ = puf.step_lanes(
+            ls, params, dt, [puf.StepUpdate("velocity", z, r_dvl)],
+            interpret=interpret,
+        )
+        return out
+
+    @jax.jit
+    def tick_step_press(ls, rr, z):
+        ls = pose_fused.set_rotation_rate_lanes(ls, rr)
+        out, _ = puf.step_lanes(
+            ls, params, dt, [puf.StepUpdate("pressure", z, r_press, aux=press_aux)],
+            interpret=interpret,
+        )
+        return out
+
+    @jax.jit
+    def tick_step_both(ls, rr, zv, zp):
+        ls = pose_fused.set_rotation_rate_lanes(ls, rr)
+        out, _ = puf.step_lanes(
+            ls, params, dt,
+            [
+                puf.StepUpdate("velocity", zv, r_dvl),
+                puf.StepUpdate("pressure", zp, r_press, aux=press_aux),
+            ],
             interpret=interpret,
         )
         return out
@@ -156,13 +201,23 @@ def main(argv=None):
             rr = jnp.asarray(
                 np.tile(gyro_vals[k, :3], (args.bank, 1)), dtype
             )
-            ls = tick_predict(ls, rr)
+            zv = zp = None
             if valid[DVL, k]:
-                z = jnp.asarray(np.tile(values[DVL, k, :3], (args.bank, 1)), dtype)
-                ls = tick_dvl(ls, z)
+                zv = jnp.asarray(np.tile(values[DVL, k, :3], (args.bank, 1)), dtype)
             if valid[PRESS, k]:
-                z = jnp.asarray(np.tile(values[PRESS, k, :1], (args.bank, 1)), dtype)
-                ls = tick_press(ls, z)
+                zp = jnp.asarray(np.tile(values[PRESS, k, :1], (args.bank, 1)), dtype)
+            if args.fused_step and zv is not None and zp is not None:
+                ls = tick_step_both(ls, rr, zv, zp)
+            elif args.fused_step and zv is not None:
+                ls = tick_step_dvl(ls, rr, zv)
+            elif args.fused_step and zp is not None:
+                ls = tick_step_press(ls, rr, zp)
+            else:
+                ls = tick_predict(ls, rr)
+                if zv is not None:
+                    ls = tick_dvl(ls, zv)
+                if zp is not None:
+                    ls = tick_press(ls, zp)
         jax.block_until_ready(ls.cov_t)
         chunk_wall = time.perf_counter() - t_start
         wall += chunk_wall

@@ -92,3 +92,16 @@ def test_online_estimator_runs_off_tpu():
         ["--cpu", "--bank", "4", "--seconds", "2", "--rate", "5"]
     )
     assert rt > 0
+
+
+def test_online_estimator_fused_step_mode():
+    """--fused-step dispatches predict + the tick's sensor updates through
+    the single-launch step_lanes kernel; the loop must converge identically
+    (same math, one launch) off-TPU in interpret mode."""
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
+    import online_estimator
+
+    rt = online_estimator.main(
+        ["--cpu", "--bank", "4", "--seconds", "2", "--rate", "5", "--fused-step"]
+    )
+    assert rt > 0

@@ -641,7 +641,8 @@ def test_step_lanes_multi_sensor_matches_chain():
     """The generalized single-launch step (predict + a chain of in-kernel
     updates, step_lanes) is bit-identical to predict_lanes followed by the
     matching update_model_lanes calls — same kernels composed in one launch,
-    each update re-drawing sigma points from the then-current covariance."""
+    each update re-drawing sigma points from the then-current covariance.
+    The chain covers ALL six in-kernel models (FUSED_MODELS)."""
     from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
 
     nb = 2
@@ -652,13 +653,23 @@ def test_step_lanes_multi_sensor_matches_chain():
     r_p = jnp.eye(1, dtype=jnp.float32) * 1e2
     z_xy = jnp.asarray(RNG.normal(scale=1.0, size=(nb, 2)), jnp.float32)
     r_xy = jnp.eye(2, dtype=jnp.float32) * 1e-2
+    z_z = jnp.asarray(RNG.normal(scale=1.0, size=(nb, 1)), jnp.float32)
+    r_z = jnp.eye(1, dtype=jnp.float32) * 1e-2
+    z_acc = jnp.asarray(RNG.normal(scale=0.2, size=(nb, 3)), jnp.float32)
+    r_acc = jnp.eye(3, dtype=jnp.float32) * 1e-2
+    z_wv = jnp.asarray(RNG.normal(scale=0.1, size=(nb, 2)), jnp.float32)
+    r_wv = jnp.eye(2, dtype=jnp.float32) * 1e-2
     p_aux = (params.atmospheric_pressure, 0.0, 0.0, 0.0)
+    cw = 0.3  # ADCP cell weighting
 
     ls0 = pose_fused.to_lanes(bstate)
     a = pose_fused.predict_lanes(ls0, params, 0.05, interpret=True)
     a, ai0 = puf.update_model_lanes("velocity", a, z_dvl, r_dvl, None, interpret=True)
     a, ai1 = puf.update_model_lanes("pressure", a, z_p, r_p, None, p_aux, interpret=True)
     a, ai2 = puf.update_model_lanes("xy_position", a, z_xy, r_xy, 5.991, interpret=True)
+    a, ai3 = puf.update_model_lanes("z_position", a, z_z, r_z, None, interpret=True)
+    a, ai4 = puf.update_model_lanes("acceleration", a, z_acc, r_acc, None, interpret=True)
+    a, ai5 = puf.update_model_lanes("water_velocity", a, z_wv, r_wv, 5.991, (cw,), interpret=True)
 
     b, infos = puf.step_lanes(
         ls0, params, 0.05,
@@ -666,15 +677,18 @@ def test_step_lanes_multi_sensor_matches_chain():
             puf.StepUpdate("velocity", z_dvl, r_dvl),
             puf.StepUpdate("pressure", z_p, r_p, aux=p_aux),
             puf.StepUpdate("xy_position", z_xy, r_xy, gate_threshold=5.991),
+            puf.StepUpdate("z_position", z_z, r_z),
+            puf.StepUpdate("acceleration", z_acc, r_acc),
+            puf.StepUpdate("water_velocity", z_wv, r_wv, gate_threshold=5.991, aux=(cw,)),
         ],
         interpret=True,
     )
-    assert len(infos) == 3
+    assert len(infos) == 6
     ao, bo = pose_fused.from_lanes(a, bstate), pose_fused.from_lanes(b, bstate)
     np.testing.assert_array_equal(np.asarray(bo.cov), np.asarray(ao.cov))
     np.testing.assert_array_equal(np.asarray(bo.mu.position), np.asarray(ao.mu.position))
     np.testing.assert_array_equal(np.asarray(bo.mu.orientation), np.asarray(ao.mu.orientation))
-    for got, want in zip(infos, (ai0, ai1, ai2)):
+    for got, want in zip(infos, (ai0, ai1, ai2, ai3, ai4, ai5)):
         np.testing.assert_array_equal(np.asarray(got.mahalanobis2), np.asarray(want.mahalanobis2))
         np.testing.assert_array_equal(np.asarray(got.accepted), np.asarray(want.accepted))
         np.testing.assert_array_equal(np.asarray(got.innovation), np.asarray(want.innovation))
