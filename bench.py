@@ -66,6 +66,23 @@ def _build_velocity_step(dtype):
         s, _ = vukf.update_dvl(s, z, r)
         return s
 
+    def bank_step(bs, z, r):
+        # fused Pallas path on TPU f32 (models/velocity_fused.py)
+        bs = vukf.predict_bank(bs, params, 0.05)
+        bs, _ = vukf.update_dvl_bank(bs, z, r)
+        return bs
+
+    step.bank_step = bank_step
+
+    from slam_uwv_kalman_filters_tpu.models import velocity_fused as vfu
+
+    def lanes_step(ls, z, r):
+        # the whole predict+DVL step in ONE kernel launch — the 4-DOF filter
+        # is far too small to amortize separate launches
+        ls, _ = vfu.step_lanes(ls, params, 0.05, [vfu.StepUpdate("dvl", z, r)])
+        return ls
+
+    step.lanes = (vfu.to_lanes, lanes_step)
     return state, params, step
 
 
