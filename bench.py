@@ -103,6 +103,24 @@ def _build_bottom_step(dtype):
         s, _ = bukf.update_range(s, z[:1], r[:1, :1], beam, origin)
         return s
 
+    def bank_step(bs, z, r):
+        # fused Pallas path on TPU f32 (models/bottom_fused.py)
+        bs = bukf.predict_bank(bs, params, 0.1)
+        bs, _ = bukf.update_range_bank(bs, z[:, :1], r[:, :1, :1], beam, origin)
+        return bs
+
+    step.bank_step = bank_step
+
+    from slam_uwv_kalman_filters_tpu.models import bottom_fused as bfu
+
+    def lanes_step(ls, z, r):
+        # whole predict+range step in ONE launch (incl. the S² Karcher mean)
+        ls, _ = bfu.step_lanes(
+            ls, params, 0.1, [bfu.StepUpdate("range", z[:, :1], r[:, :1, :1], beam, origin)]
+        )
+        return ls
+
+    step.lanes = (bfu.to_lanes, lanes_step)
     return state, params, step
 
 

@@ -27,8 +27,11 @@ __all__ = [
     "BottomUKFParams",
     "init",
     "predict",
+    "predict_bank",
     "update_range",
+    "update_range_bank",
     "update_normal",
+    "update_normal_bank",
     "set_velocity",
     "BottomUKF",
 ]
@@ -136,6 +139,69 @@ def update_normal(
 def set_velocity(state: BottomUKFState, velocity: jax.Array) -> BottomUKFState:
     """Velocity is an input to the next prediction (``BottomUKF.cpp:69-72``)."""
     return state._replace(velocity=velocity)
+
+
+# ---------------------------------------------------------------------------
+# Bank-level entry points with auto-dispatch to the fused Pallas kernel
+# (models/bottom_fused.py) on the TPU f32 path — mirrors the pose/velocity
+# bank APIs. ``set_velocity`` already works bankwide (pure _replace).
+# ---------------------------------------------------------------------------
+
+
+def _fused_ok(bstate: BottomUKFState) -> bool:
+    return (
+        bstate.cov.dtype == jnp.float32
+        and bstate.cov.ndim == 3
+        and jax.default_backend() == "tpu"
+    )
+
+
+def predict_bank(
+    bstate: BottomUKFState, params: BottomUKFParams, dt, *, use_fused: str | bool = "auto"
+) -> BottomUKFState:
+    """Bank-level prediction; ONE Pallas launch on the TPU f32 path (incl.
+    the in-kernel S² Karcher mean), ``vmap(predict)`` otherwise."""
+    if use_fused == "auto":
+        use_fused = _fused_ok(bstate)
+    if use_fused:
+        from . import bottom_fused
+
+        return bottom_fused.predict_fused_banked(bstate, params, dt)
+    return jax.vmap(lambda s: predict(s, params, dt))(bstate)
+
+
+def update_range_bank(
+    bstate, z, meas_cov, unit_direction, origin, *, use_fused: str | bool = "auto"
+):
+    """Bank-level per-beam DVL range update; ``unit_direction``/``origin``
+    may be shared ``(3,)`` or per-instance ``(B, 3)``."""
+    if use_fused == "auto":
+        use_fused = _fused_ok(bstate)
+    if use_fused:
+        from . import bottom_fused
+
+        return bottom_fused.update_model_fused_banked(
+            "range", bstate, z, meas_cov, unit_direction, origin
+        )
+    nb = bstate.cov.shape[0]
+    dtype = bstate.cov.dtype
+    d = jnp.broadcast_to(jnp.asarray(unit_direction, dtype), (nb, 3))
+    o = jnp.broadcast_to(jnp.asarray(origin, dtype), (nb, 3))
+    rr = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, 1, 1))
+    return jax.vmap(update_range)(bstate, jnp.asarray(z, dtype).reshape(nb, 1), rr, d, o)
+
+
+def update_normal_bank(bstate, z, meas_cov, *, use_fused: str | bool = "auto"):
+    """Bank-level S²-valued normal observation."""
+    if use_fused == "auto":
+        use_fused = _fused_ok(bstate)
+    if use_fused:
+        from . import bottom_fused
+
+        return bottom_fused.update_model_fused_banked("normal", bstate, z, meas_cov)
+    dtype = bstate.cov.dtype
+    rr = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (bstate.cov.shape[0], 2, 2))
+    return jax.vmap(update_normal)(bstate, jnp.asarray(z, dtype), rr)
 
 
 class BottomUKF:
