@@ -152,6 +152,29 @@ def _build_indirect_step(dtype):
         )
         return s
 
+    def bank_step(bs, z, r):
+        # fused Pallas path on TPU f32 (models/indirect_fused.py): the 12-DOF
+        # marker augmentation lives only in VMEM
+        bs = ipu.predict_bank(bs, params, 0.1)
+        bs, _ = ipu.update_markers_bank(
+            bs, feature_px, feature_cov, feature_pos, marker_pos, marker_rot,
+            cov_marker, cam, cam_in_body_pos, cam_in_body_rot,
+        )
+        return bs
+
+    step.bank_step = bank_step
+
+    from slam_uwv_kalman_filters_tpu.models import indirect_fused as ifu
+
+    def lanes_step(ls, z, r):
+        ls = ifu.predict_lanes(ls, params, 0.1)
+        ls, _ = ifu.update_markers_lanes(
+            ls, feature_px, feature_cov, feature_pos, marker_pos, marker_rot,
+            cov_marker, cam, cam_in_body_pos, cam_in_body_rot,
+        )
+        return ls
+
+    step.lanes = (ifu.to_lanes, lanes_step)
     return state, params, step
 
 

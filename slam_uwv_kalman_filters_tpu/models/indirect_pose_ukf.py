@@ -37,7 +37,9 @@ __all__ = [
     "IndirectPoseUKFParams",
     "init",
     "predict",
+    "predict_bank",
     "update_markers",
+    "update_markers_bank",
     "update_pose_reference",
     "corrected_pose",
     "pixel_to_s2",
@@ -259,6 +261,88 @@ def update_markers(
     )
     info_all = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *infos)
     return state._replace(mu=new_mu, cov=aug_cov[:6, :6]), info_all
+
+
+# ---------------------------------------------------------------------------
+# Bank-level entry points with auto-dispatch to the fused Pallas kernel
+# (models/indirect_fused.py) on the TPU f32 path. ``update_pose_reference``
+# already works bankwide (pure _replace).
+# ---------------------------------------------------------------------------
+
+
+def _fused_ok(bstate: IndirectPoseUKFState) -> bool:
+    return (
+        bstate.cov.dtype == jnp.float32
+        and bstate.cov.ndim == 3
+        and jax.default_backend() == "tpu"
+    )
+
+
+def predict_bank(
+    bstate: IndirectPoseUKFState,
+    params: IndirectPoseUKFParams,
+    dt,
+    *,
+    use_fused: str | bool = "auto",
+) -> IndirectPoseUKFState:
+    """Bank-level prediction; ONE Pallas launch on the TPU f32 path (incl.
+    the per-instance error-rotated Q and the SO(3) Karcher mean)."""
+    if use_fused == "auto":
+        use_fused = _fused_ok(bstate)
+    if use_fused:
+        from . import indirect_fused
+
+        return indirect_fused.predict_fused_banked(bstate, params, dt)
+    return jax.vmap(lambda s: predict(s, params, dt))(bstate)
+
+
+def update_markers_bank(
+    bstate: IndirectPoseUKFState,
+    marker_features,
+    feature_covs,
+    feature_positions,
+    marker_position,
+    marker_orientation,
+    cov_marker_pose,
+    camera: CameraConfiguration,
+    camera_in_body_position,
+    camera_in_body_orientation,
+    *,
+    use_fused: str | bool = "auto",
+):
+    """Bank-level visual-marker update. ``marker_features``/``feature_covs``
+    may be shared ``(K, ...)`` or per-instance ``(B, K, ...)``; on the TPU
+    f32 path the 12-DOF augmentation + K chained S² corner updates +
+    marginalization run as ONE kernel launch with the augmented state
+    resident only in VMEM."""
+    if use_fused == "auto":
+        use_fused = _fused_ok(bstate)
+    if use_fused:
+        from . import indirect_fused
+
+        return indirect_fused.update_markers_fused_banked(
+            bstate, marker_features, feature_covs, feature_positions,
+            marker_position, marker_orientation, cov_marker_pose, camera,
+            camera_in_body_position, camera_in_body_orientation,
+        )
+    nb = bstate.cov.shape[0]
+    dtype = bstate.cov.dtype
+    feats = jnp.asarray(marker_features, dtype)
+    if feats.ndim == 2:
+        feats = jnp.broadcast_to(feats[None], (nb, *feats.shape))
+    k = feats.shape[1]
+    fcovs = jnp.broadcast_to(jnp.asarray(feature_covs, dtype), (nb, k, 2, 2))
+
+    def one(s, f, fc):
+        return update_markers(
+            s, f, fc, jnp.asarray(feature_positions, dtype),
+            jnp.asarray(marker_position, dtype), jnp.asarray(marker_orientation, dtype),
+            jnp.asarray(cov_marker_pose, dtype), camera,
+            jnp.asarray(camera_in_body_position, dtype),
+            jnp.asarray(camera_in_body_orientation, dtype),
+        )
+
+    return jax.vmap(one)(bstate, feats, fcovs)
 
 
 def update_pose_reference(
