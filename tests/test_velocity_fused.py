@@ -200,3 +200,36 @@ def test_bank_dispatch_fused_matches_generic():
     fu, _ = vf.update_model_fused_banked("dvl", fus, z, r, interpret=True)
     np.testing.assert_allclose(np.asarray(fu.mu.velocity), np.asarray(gu.mu.velocity), atol=5e-6)
     np.testing.assert_allclose(np.asarray(fu.cov), np.asarray(gu.cov), atol=5e-6)
+
+
+def test_fused_step_under_bank_shard_map():
+    """The fused whole-step kernel wrapped in parallel.sharding.bank_shard_map
+    matches the unsharded result on the 8-device CPU mesh — validates that
+    the lanes kernel (which GSPMD cannot partition) runs per-device on local
+    shards, the multi-chip deployment pattern of docs/DEPLOYMENT.md."""
+    from slam_uwv_kalman_filters_tpu.parallel import sharding as shmod
+
+    nb = 16
+    bstate, params = _bank(nb)
+    z = jnp.asarray(RNG.normal(scale=0.3, size=(nb, 3)), jnp.float32)
+    r = jnp.eye(3, dtype=jnp.float32) * 1e-3
+    mesh = shmod.make_mesh()
+
+    def step(bs, zz):
+        ls = vf.to_lanes(bs)
+        ls, _ = vf.step_lanes(
+            ls, params, 0.05, [vf.StepUpdate("dvl", zz, r)], interpret=True
+        )
+        return vf.from_lanes(ls, bs)
+
+    sharded = shmod.shard_bank(bstate, mesh)
+    z_sharded = jax.device_put(z, shmod.bank_sharding(mesh))
+    out_sharded = jax.jit(shmod.bank_shard_map(step, mesh))(sharded, z_sharded)
+    out_ref = step(bstate, z)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.cov), np.asarray(out_ref.cov), atol=2e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.mu.velocity), np.asarray(out_ref.mu.velocity), atol=2e-7
+    )
+    assert len(out_sharded.cov.sharding.device_set) == len(jax.devices())
