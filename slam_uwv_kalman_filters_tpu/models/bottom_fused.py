@@ -40,7 +40,7 @@ from ..ops import kernels
 from ..ops.kernels import LANE_TILE
 from ..ops import ukf
 from .pose_fused import _atan2_nonneg
-from .velocity_fused import _crout, _solve_chol
+from .velocity_fused import _draw_deltas, _kalman_tail
 
 if TYPE_CHECKING:
     from .bottom_ukf import BottomUKFParams, BottomUKFState
@@ -223,16 +223,8 @@ def _s2_karcher_mean(pts, nrow):
 
 def _sigma_normals(P, mu_n):
     """Redraw sigma points from the current 3×3 covariance: returns
-    (ddist (NSIG, B), normals components (NSIG, B)×3, deltas rows list)."""
-    L = _crout(P, DOF)
-    z1 = jnp.zeros_like(P[0][0])
-    drow = []
-    for i in range(DOF):
-        parts = [z1]
-        for j in range(DOF):
-            c = L[i][j] if j <= i else z1
-            parts += [c, -c]
-        drow.append(jnp.concatenate(parts, axis=0))  # (NSIG, B)
+    (delta rows list of (NSIG, B), normal components (NSIG, B)×3)."""
+    drow = _draw_deltas(P, DOF)
     basis = _s2_basis(mu_n)
     normals = _s2_boxplus(mu_n, drow[1], drow[2], basis)  # (NSIG, B) comps
     return drow, normals
@@ -331,26 +323,9 @@ def _make_step_kernel(models: tuple[str, ...], do_predict: bool):
                 [0.5 * jnp.sum(drow[i] * dz[a], axis=0, keepdims=True) for a in range(m)]
                 for i in range(DOF)
             ]
-            Ls = _crout(S, m)
-            q_sol = _solve_chol(Ls, nu_v, m)
-            m2 = sum(nu_v[a] * q_sol[a] for a in range(m))
-            K = [_solve_chol(Ls, C[i], m) for i in range(DOF)]
-            thr = gate_ref[0, 0]
-            accf = jnp.where(thr < 0.0, jnp.ones_like(m2), (m2 <= thr).astype(dtype))
-            corr = [accf * sum(K[i][a] * nu_v[a] for a in range(m)) for i in range(DOF)]
+            corr, P, m2, accf = _kalman_tail(P, S, C, nu_v, gate_ref[0, 0], dtype)
             dist = dist + corr[0]
             mu_n = _s2_boxplus(mu_n, corr[1], corr[2])
-            W = [
-                [sum(K[i][bb] * Ls[bb][a] for bb in range(a, m)) for a in range(m)]
-                for i in range(DOF)
-            ]
-            Pn = [[None] * DOF for _ in range(DOF)]
-            for i in range(DOF):
-                for j in range(i + 1):
-                    v = P[i][j] - accf * sum(W[i][a] * W[j][a] for a in range(m))
-                    Pn[i][j] = v
-                    Pn[j][i] = v
-            P = Pn
             m2_ref[:] = m2
             acc_ref[:] = accf
             nu_ref[:] = jnp.concatenate(nu_v, axis=0)
@@ -512,7 +487,7 @@ def step_lanes(
     updates — in a single kernel launch on kernel-layout state (each update
     re-draws sigma points from the then-current covariance, exactly like the
     reference's sequential ``integrateMeasurement`` calls)."""
-    updates = list(updates)
+    updates = [u if isinstance(u, StepUpdate) else StepUpdate(*u) for u in updates]
     if nb is None:
         nb = updates[0].z.shape[0] if updates else lstate.cov_t.shape[-1]
     return _run(lstate, params, dt, updates, True, nb, interpret=interpret)

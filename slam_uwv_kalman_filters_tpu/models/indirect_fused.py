@@ -39,7 +39,7 @@ from ..ops.kernels import LANE_TILE
 from ..ops import ukf
 from .pose_fused import _qexp, _qlog, _qmul, _qnorm4
 from .bottom_fused import _s2_basis, _s2_boxminus, _s2_karcher_mean
-from .velocity_fused import _crout, _solve_chol
+from .velocity_fused import _draw_deltas, _kalman_tail
 
 if TYPE_CHECKING:
     from ..utils.config import CameraConfiguration
@@ -172,21 +172,6 @@ def _rot_matrix(q):
         [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
         [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
     ]
-
-
-def _draw_deltas(P, ndof):
-    """(2·ndof+1, B) interleaved ukfom sigma deltas per tangent row from the
-    plain unrolled Cholesky of the (ndof, ndof) lane-vector grid P."""
-    L = _crout(P, ndof)
-    z1 = jnp.zeros_like(P[0][0])
-    drow = []
-    for i in range(ndof):
-        parts = [z1]
-        for j in range(ndof):
-            c = L[i][j] if j <= i else z1
-            parts += [c, -c]
-        drow.append(jnp.concatenate(parts, axis=0))
-    return drow
 
 
 # ---------------------------------------------------------------------------
@@ -374,26 +359,13 @@ def _make_marker_kernel(k: int):
                 [0.5 * jnp.sum(drow[i] * dz[a], axis=0, keepdims=True) for a in range(2)]
                 for i in range(n)
             ]
-            Ls = _crout(S, 2)
-            q_sol = _solve_chol(Ls, nu_v, 2)
-            m2 = nu_v[0] * q_sol[0] + nu_v[1] * q_sol[1]
-            K = [_solve_chol(Ls, C[i], 2) for i in range(n)]
-            corr = [K[i][0] * nu_v[0] + K[i][1] * nu_v[1] for i in range(n)]
+            # marker updates are accept-any (IndirectPoseUKF.cpp:131) — the
+            # -1 sentinel disables the shared tail's χ² mask
+            corr, P, m2, _ = _kalman_tail(P, S, C, nu_v, -1.0, P[0][0].dtype)
             pos = [pos[i] + corr[i] for i in range(3)]
             qe = _so3_boxplus(qe, (corr[3], corr[4], corr[5]), 1.0)
             mpos = [mpos[i] + corr[6 + i] for i in range(3)]
             mq = _so3_boxplus(mq, (corr[9], corr[10], corr[11]), 1.0)
-            W = [
-                [sum(K[i][bb] * Ls[bb][a] for bb in range(a, 2)) for a in range(2)]
-                for i in range(n)
-            ]
-            Pn = [[None] * n for _ in range(n)]
-            for i in range(n):
-                for j in range(i + 1):
-                    v = P[i][j] - (W[i][0] * W[j][0] + W[i][1] * W[j][1])
-                    Pn[i][j] = v
-                    Pn[j][i] = v
-            P = Pn
             m2_ref[c] = m2[0]
             nu_ref[c] = jnp.concatenate(nu_v, axis=0)
 
@@ -465,11 +437,16 @@ def update_markers_lanes(
     dtype = lstate.cov_t.dtype
     nb_pad = lstate.cov_t.shape[-1]
     feats = jnp.asarray(marker_features, dtype)
-    if feats.ndim == 2:
+    per_instance = feats.ndim == 3
+    if not per_instance:
         feats = feats[None]
     k = feats.shape[1]
     if nb is None:
-        nb = feats.shape[0] if feats.shape[0] > 1 else nb_pad
+        # per-instance features carry the true bank size (incl. a bank of 1);
+        # shared features don't — fall back to the padded width, which is
+        # only correct for unpadded banks (the returned UpdateInfo would
+        # include pad lanes otherwise). The bank-API wrapper always passes nb.
+        nb = feats.shape[0] if per_instance else nb_pad
     fcovs = jnp.broadcast_to(jnp.asarray(feature_covs, dtype), (feats.shape[0], k, 2, 2))
     # pixel → bearing per corner (vmapped over bank + corners)
     z = jax.vmap(jax.vmap(lambda px: pixel_to_s2(px, camera)))(feats)  # (b?, K, 3)

@@ -332,17 +332,21 @@ def update_markers_bank(
         feats = jnp.broadcast_to(feats[None], (nb, *feats.shape))
     k = feats.shape[1]
     fcovs = jnp.broadcast_to(jnp.asarray(feature_covs, dtype), (nb, k, 2, 2))
+    # marker pose may be shared (3,)/(4,) or per-instance (B,·) — broadcast
+    # and vmap over it so both backends accept the same shapes as the fused
+    # path (indirect_fused.update_markers_lanes)
+    mpos = jnp.broadcast_to(jnp.asarray(marker_position, dtype), (nb, 3))
+    mrot = jnp.broadcast_to(jnp.asarray(marker_orientation, dtype), (nb, 4))
 
-    def one(s, f, fc):
+    def one(s, f, fc, mp, mr):
         return update_markers(
-            s, f, fc, jnp.asarray(feature_positions, dtype),
-            jnp.asarray(marker_position, dtype), jnp.asarray(marker_orientation, dtype),
+            s, f, fc, jnp.asarray(feature_positions, dtype), mp, mr,
             jnp.asarray(cov_marker_pose, dtype), camera,
             jnp.asarray(camera_in_body_position, dtype),
             jnp.asarray(camera_in_body_orientation, dtype),
         )
 
-    return jax.vmap(one)(bstate, feats, fcovs)
+    return jax.vmap(one)(bstate, feats, fcovs, mpos, mrot)
 
 
 def update_pose_reference(

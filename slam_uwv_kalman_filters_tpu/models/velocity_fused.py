@@ -259,6 +259,50 @@ def _cross(a, b):
     ]
 
 
+def _draw_deltas(P, ndof):
+    """(2·ndof+1, B) interleaved ukfom sigma deltas per tangent row from the
+    plain unrolled Cholesky of the (ndof, ndof) lane-vector grid P — row 0
+    zero, rows 2j+1 / 2j+2 the ±j-th factor column. The single definition of
+    the in-kernel sigma-draw convention, shared by the velocity, bottom and
+    indirect fused kernels."""
+    L = _crout(P, ndof)
+    z1 = jnp.zeros_like(P[0][0])
+    drow = []
+    for i in range(ndof):
+        parts = [z1]
+        for j in range(ndof):
+            c = L[i][j] if j <= i else z1
+            parts += [c, -c]
+        drow.append(jnp.concatenate(parts, axis=0))
+    return drow
+
+
+def _kalman_tail(P, S, C, nu_v, thr, dtype):
+    """Shared linear-algebra tail of the fused updates: unrolled Cholesky of
+    the m×m innovation covariance grid ``S``, gain K = C·S⁻¹, Mahalanobis²,
+    the χ² mask (``thr`` < 0 ⇒ accept any), the masked correction K·ν and
+    the exactly-symmetric masked downdate P − (K·Lₛ)(K·Lₛ)ᵀ. ``P``/``C`` are
+    n×n / n×m grids of lane vectors. Returns (corr, Pn, m2, accf)."""
+    n, m = len(P), len(nu_v)
+    Ls = _crout(S, m)
+    q_sol = _solve_chol(Ls, nu_v, m)
+    m2 = sum(nu_v[a] * q_sol[a] for a in range(m))
+    K = [_solve_chol(Ls, C[i], m) for i in range(n)]
+    accf = jnp.where(thr < 0.0, jnp.ones_like(m2), (m2 <= thr).astype(dtype))
+    corr = [accf * sum(K[i][a] * nu_v[a] for a in range(m)) for i in range(n)]
+    W = [
+        [sum(K[i][bb] * Ls[bb][a] for bb in range(a, m)) for a in range(m)]
+        for i in range(n)
+    ]
+    Pn = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            v = P[i][j] - accf * sum(W[i][a] * W[j][a] for a in range(m))
+            Pn[i][j] = v
+            Pn[j][i] = v
+    return corr, Pn, m2, accf
+
+
 def _make_step_kernel(models: tuple[str, ...], do_predict: bool):
     """Kernel factory: (optional) predict + a chain of in-kernel linear
     measurement updates, all state VMEM-resident between phases."""
@@ -289,16 +333,8 @@ def _make_step_kernel(models: tuple[str, ...], do_predict: bool):
                 P[j][i] = v
 
         if do_predict:
-            # --- sigma deltas from the plain unrolled Cholesky ---
-            L = _crout(P, DOF)
-            z1 = jnp.zeros((1, b), dtype)
-            drow = []  # per state row: (NSIG, B) ukfom-interleaved deltas
-            for i in range(DOF):
-                parts = [z1]
-                for j in range(DOF):
-                    c = L[i][j] if j <= i else z1
-                    parts += [c, -c]
-                drow.append(jnp.concatenate(parts, axis=0))
+            # --- sigma deltas: (NSIG, B) ukfom-interleaved per state row ---
+            drow = _draw_deltas(P, DOF)
 
             # --- shared per-instance quantities ---
             q = [trk_ref[3 + i : 4 + i, :] for i in range(4)]  # wxyz
@@ -388,33 +424,9 @@ def _make_step_kernel(models: tuple[str, ...], do_predict: bool):
                 for a in range(m)
             ]
             nu_v = [z_ref[a : a + 1, :] - mu[rows[a]] for a in range(m)]
-            Ls = _crout(Ssub, m)
-            # K = C·S⁻¹ row by row (C[i] = P[i, rows]); m2 = νᵀS⁻¹ν
-            q_sol = _solve_chol(Ls, nu_v, m)
-            m2 = sum(nu_v[a] * q_sol[a] for a in range(m))
-            K = [
-                _solve_chol(Ls, [P[i][rows[a]] for a in range(m)], m) for i in range(DOF)
-            ]
-            thr = gate_ref[0, 0]
-            accf = jnp.where(
-                thr < 0.0, jnp.ones_like(m2), (m2 <= thr).astype(dtype)
-            )
-            # W = K·Ls ⇒ the downdate K·S·Kᵀ = W·Wᵀ is exactly symmetric
-            W = [
-                [sum(K[i][bb] * Ls[bb][a] for bb in range(a, m)) for a in range(m)]
-                for i in range(DOF)
-            ]
-            mu = [
-                mu[i] + accf * sum(K[i][a] * nu_v[a] for a in range(m))
-                for i in range(DOF)
-            ]
-            Pn = [[None] * DOF for _ in range(DOF)]
-            for i in range(DOF):
-                for j in range(i + 1):
-                    v = P[i][j] - accf * sum(W[i][a] * W[j][a] for a in range(m))
-                    Pn[i][j] = v
-                    Pn[j][i] = v
-            P = Pn
+            C = [[P[i][rows[a]] for a in range(m)] for i in range(DOF)]
+            corr, P, m2, accf = _kalman_tail(P, Ssub, C, nu_v, gate_ref[0, 0], dtype)
+            mu = [mu[i] + corr[i] for i in range(DOF)]
             m2_ref[:] = m2
             acc_ref[:] = accf
             nu_ref[:] = jnp.concatenate(nu_v, axis=0)
@@ -567,7 +579,7 @@ def step_lanes(
     multi-launch predict_lanes + update_model_lanes chain to one f32 ulp (the
     launch boundary blocks cross-phase FMA contraction, so exact bit equality
     is not guaranteed). Returns ``(VelLanesState, [UpdateInfo, ...])``."""
-    updates = list(updates)
+    updates = [u if isinstance(u, StepUpdate) else StepUpdate(*u) for u in updates]
     if nb is None:
         nb = updates[0].z.shape[0] if updates else lstate.cov_t.shape[-1]
     return _run(lstate, params, dt, updates, True, nb, interpret=interpret)

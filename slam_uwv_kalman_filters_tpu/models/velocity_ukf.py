@@ -201,11 +201,40 @@ def update_pressure(
 # ---------------------------------------------------------------------------
 
 
+def _params_banked(params: VelocityUKFParams) -> bool:
+    """True when ANY parameter leaf carries a bank axis (Monte-Carlo sweep):
+    the vehicle model's matrices count, not just the process noise."""
+    return params.process_noise.ndim == 3 or params.model.inertia_matrix.ndim == 3
+
+
+def _broadcast_params_bank(params: VelocityUKFParams, nb: int) -> VelocityUKFParams:
+    """Give every parameter leaf a bank axis, so a sweep that banks only some
+    leaves (e.g. the vehicle model but not the process noise) still vmaps."""
+
+    def b(leaf, unbanked_ndim):
+        leaf = jnp.asarray(leaf)
+        if leaf.ndim == unbanked_ndim:
+            return jnp.broadcast_to(leaf, (nb, *leaf.shape))
+        return leaf
+
+    m = params.model
+    model = m._replace(
+        inertia_matrix=b(m.inertia_matrix, 2),
+        damping_linear=b(m.damping_linear, 2),
+        damping_quadratic=b(m.damping_quadratic, 2),
+        weight=b(m.weight, 0),
+        buoyancy=b(m.buoyancy, 0),
+        cog=b(m.cog, 1),
+        cob=b(m.cob, 1),
+    )
+    return params._replace(model=model, process_noise=b(params.process_noise, 2))
+
+
 def _fused_ok(bstate: VelocityUKFState, params: VelocityUKFParams) -> bool:
     return (
         bstate.cov.dtype == jnp.float32
         and bstate.cov.ndim == 3
-        and params.process_noise.ndim == 2  # shared parameter set
+        and not _params_banked(params)  # fused kernel takes one shared set
         and jax.default_backend() == "tpu"
     )
 
@@ -225,8 +254,9 @@ def predict_bank(
         from . import velocity_fused
 
         return velocity_fused.predict_fused_banked(bstate, params, dt)
-    if params.process_noise.ndim == 3:  # per-instance parameter bank
-        return jax.vmap(lambda s, p: predict(s, p, dt))(bstate, params)
+    if _params_banked(params):  # per-instance parameter bank (sweeps)
+        pb = _broadcast_params_bank(params, bstate.cov.shape[0])
+        return jax.vmap(lambda s, p: predict(s, p, dt))(bstate, pb)
     return jax.vmap(lambda s: predict(s, params, dt))(bstate)
 
 

@@ -150,3 +150,42 @@ def test_bank_dispatch_fused_matches_generic():
         rtol=2e-4, atol=5e-4,
     )
     np.testing.assert_allclose(np.asarray(fu.cov), np.asarray(gu.cov), rtol=2e-3, atol=2e-6)
+
+
+def test_update_markers_bank_per_instance_marker_pose_generic_route():
+    """The generic (vmap) route of update_markers_bank accepts per-instance
+    (B,3)/(B,4) marker poses, same as the fused path (regression: it used to
+    close over the full arrays unmapped and broke the manifold algebra)."""
+    nb = 2
+    bstate, params = _bank(nb)
+    feats, fcovs, fpos, mpos, mq, cmp_, cam, cam_p, cam_q = _marker_args()
+    mposb = jnp.stack([mpos, mpos + 0.5])
+    mqb = jnp.stack([mq, mq])
+    gen = ipu.predict_bank(bstate, params, 0.1, use_fused=False)
+    out, _ = ipu.update_markers_bank(
+        gen, feats, fcovs, fpos, mposb, mqb, cmp_, cam, cam_p, cam_q, use_fused=False
+    )
+    ref0, _ = ipu.update_markers(
+        jax.tree_util.tree_map(lambda a: a[0], gen), feats, fcovs, fpos,
+        mpos, mq, cmp_, cam, cam_p, cam_q,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.mu.position_error[0]), np.asarray(ref0.mu.position_error), atol=1e-6
+    )
+    assert not np.allclose(
+        np.asarray(out.mu.position_error[0]), np.asarray(out.mu.position_error[1])
+    )
+
+
+def test_update_markers_lanes_bank_of_one_nb_inference():
+    """Per-instance features with a bank of 1 infer nb=1 (regression: the
+    old inference fell back to the padded width and returned 127 pad-lane
+    rows in the UpdateInfo)."""
+    bstate, params = _bank(1)
+    feats, fcovs, fpos, mpos, mq, cmp_, cam, cam_p, cam_q = _marker_args()
+    ls = ifu.predict_lanes(ifu.to_lanes(bstate), params, 0.1, interpret=True)
+    _, info = ifu.update_markers_lanes(
+        ls, feats[None], fcovs[None], fpos, mpos, mq, cmp_, cam, cam_p, cam_q,
+        interpret=True,
+    )
+    assert info.mahalanobis2.shape == (1, 4)

@@ -233,3 +233,43 @@ def test_fused_step_under_bank_shard_map():
         np.asarray(out_sharded.mu.velocity), np.asarray(out_ref.mu.velocity), atol=2e-7
     )
     assert len(out_sharded.cov.sharding.device_set) == len(jax.devices())
+
+
+def test_step_lanes_accepts_plain_tuples():
+    """StepUpdate entries may be passed as plain tuples (the documented
+    shorthand); regression: nb inference used to read .z before the
+    normalization and crashed."""
+    nb = 2
+    bstate, params = _bank(nb)
+    z = jnp.asarray(RNG.normal(scale=0.3, size=(nb, 3)), jnp.float32)
+    r = jnp.eye(3, dtype=jnp.float32) * 1e-3
+    a, _ = vf.step_lanes(
+        vf.to_lanes(bstate), params, 0.05, [vf.StepUpdate("dvl", z, r)], interpret=True
+    )
+    b, _ = vf.step_lanes(
+        vf.to_lanes(bstate), params, 0.05, [("dvl", z, r)], interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a.cov_t), np.asarray(b.cov_t))
+
+
+def test_predict_bank_banked_model_sweep():
+    """A Monte-Carlo sweep that banks the vehicle MODEL but shares the
+    process noise must take the vmap route (regression: the fused dispatch
+    keyed only on process_noise.ndim and crashed in _params_scalars), and
+    must match per-instance generic predictions."""
+    nb = 3
+    bstate, params = _bank(nb)
+    inertia = jnp.stack(
+        [params.model.inertia_matrix * (1.0 + 0.1 * i) for i in range(nb)]
+    )
+    swept = params._replace(model=params.model._replace(inertia_matrix=inertia))
+    out = vukf.predict_bank(bstate, swept, 0.05)  # auto → vmap (banked params)
+    ref = jax.vmap(
+        lambda s, m: vukf.predict(
+            s, params._replace(model=params.model._replace(inertia_matrix=m)), 0.05
+        )
+    )(bstate, inertia)
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=1e-7)
+    assert not np.allclose(
+        np.asarray(out.mu.velocity[0]), np.asarray(out.mu.velocity[2])
+    )
