@@ -160,13 +160,18 @@ def predict_bank(
     bstate: BottomUKFState, params: BottomUKFParams, dt, *, use_fused: str | bool = "auto"
 ) -> BottomUKFState:
     """Bank-level prediction; ONE Pallas launch on the TPU f32 path (incl.
-    the in-kernel S² Karcher mean), ``vmap(predict)`` otherwise."""
+    the in-kernel S² Karcher mean), ``vmap(predict)`` otherwise. A banked
+    ``process_noise`` (leading bank axis — Monte-Carlo sweeps) routes to the
+    per-instance vmap on any backend."""
+    banked = params.process_noise.ndim == 3
     if use_fused == "auto":
-        use_fused = _fused_ok(bstate)
+        use_fused = _fused_ok(bstate) and not banked
     if use_fused:
         from . import bottom_fused
 
         return bottom_fused.predict_fused_banked(bstate, params, dt)
+    if banked:
+        return jax.vmap(lambda s, p: predict(s, p, dt))(bstate, params)
     return jax.vmap(lambda s: predict(s, params, dt))(bstate)
 
 

@@ -286,13 +286,26 @@ def predict_bank(
     use_fused: str | bool = "auto",
 ) -> IndirectPoseUKFState:
     """Bank-level prediction; ONE Pallas launch on the TPU f32 path (incl.
-    the per-instance error-rotated Q and the SO(3) Karcher mean)."""
+    the per-instance error-rotated Q and the SO(3) Karcher mean). Banked
+    parameters (leading bank axis on ``process_noise`` or a per-instance
+    ``orientation_error_tau`` — Monte-Carlo sweeps) route to the
+    per-instance vmap on any backend."""
+    banked = params.process_noise.ndim == 3 or params.orientation_error_tau.ndim == 1
     if use_fused == "auto":
-        use_fused = _fused_ok(bstate)
+        use_fused = _fused_ok(bstate) and not banked
     if use_fused:
         from . import indirect_fused
 
         return indirect_fused.predict_fused_banked(bstate, params, dt)
+    if banked:
+        nb = bstate.cov.shape[0]
+        pb = IndirectPoseUKFParams(
+            orientation_error_tau=jnp.broadcast_to(params.orientation_error_tau, (nb,)),
+            process_noise=jnp.broadcast_to(
+                params.process_noise, (nb, *params.process_noise.shape[-2:])
+            ),
+        )
+        return jax.vmap(lambda s, p: predict(s, p, dt))(bstate, pb)
     return jax.vmap(lambda s: predict(s, params, dt))(bstate)
 
 

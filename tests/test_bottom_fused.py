@@ -191,3 +191,17 @@ def test_near_pole_normal():
     np.testing.assert_allclose(np.asarray(fus.mu.normal), np.asarray(gen.mu.normal), atol=2e-6)
     np.testing.assert_allclose(np.asarray(fus.cov), np.asarray(gen.cov), atol=2e-6)
     assert bool(np.all(np.isfinite(np.asarray(fus.cov))))
+
+
+def test_predict_bank_banked_process_noise_sweep():
+    """A banked (B,3,3) process-noise sweep routes to the per-instance vmap
+    (the fused kernel takes one shared set) and matches per-instance calls."""
+    nb = 3
+    bstate, params = _bank(nb)
+    qb = jnp.stack([params.process_noise * (1.0 + i) for i in range(nb)])
+    out = bukf.predict_bank(bstate, bukf.BottomUKFParams(process_noise=qb), 0.1)
+    ref = jax.vmap(
+        lambda s, q: bukf.predict(s, bukf.BottomUKFParams(process_noise=q), 0.1)
+    )(bstate, qb)
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=1e-7)
+    assert not np.allclose(np.asarray(out.cov[0]), np.asarray(out.cov[2]))

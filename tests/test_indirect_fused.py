@@ -189,3 +189,17 @@ def test_update_markers_lanes_bank_of_one_nb_inference():
         interpret=True,
     )
     assert info.mahalanobis2.shape == (1, 4)
+
+
+def test_predict_bank_tau_sweep():
+    """A per-instance orientation_error_tau sweep (shared Q) routes to the
+    per-instance vmap and matches per-instance calls."""
+    nb = 3
+    bstate, params = _bank(nb)
+    taus = jnp.asarray([10.0, 30.0, 90.0], jnp.float32)
+    out = ipu.predict_bank(bstate, params._replace(orientation_error_tau=taus), 0.1)
+    ref = jax.vmap(
+        lambda s, t: ipu.predict(s, params._replace(orientation_error_tau=t), 0.1)
+    )(bstate, taus)
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=1e-7)
+    assert not np.allclose(np.asarray(out.cov[0]), np.asarray(out.cov[2]))
