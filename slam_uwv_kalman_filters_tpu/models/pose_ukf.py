@@ -629,18 +629,18 @@ def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     )
 
 
-def _fused_model_route(use_fused, bstate, params, *, params_needed=False):
+def _fused_model_route(use_fused, bstate, params):
     """Resolve the fused-route decision shared by the typed bank updates:
-    in-kernel measurement models engage on the TPU f32 bank path, and (when
-    the model reads parameters) only for a shared parameter set."""
+    in-kernel measurement models engage on the TPU f32 bank path. Models
+    that read parameters pass per-instance values through the kernel's
+    banked-aux lanes, so banked parameter sets stay on the fused route."""
+    del params
     if use_fused == "auto":
         use_fused = (
             bstate.cov.dtype == jnp.float32
             and bstate.cov.ndim == 3
             and jax.default_backend() == "tpu"
         )
-    if params_needed and params.process_noise.ndim == 3:
-        return False, use_fused
     return bool(use_fused), use_fused
 
 
@@ -689,14 +689,43 @@ def update_xy_position_bank(bstate, params, z, meas_cov, gate_threshold=None, *,
 
 
 def update_pressure_bank(bstate, params, z, meas_cov, pressure_sensor_in_imu=None, *, use_fused="auto"):
-    """Bank-level hydrostatic-pressure update (``PoseUKF.cpp:107-115,559-565``)."""
+    """Bank-level hydrostatic-pressure update (``PoseUKF.cpp:107-115,559-565``).
+
+    The one parameter the model reads, ``params.atmospheric_pressure``, may be
+    banked (Monte-Carlo sweeps): per-instance values ride the fused kernel's
+    banked-aux lanes on the TPU path and a per-instance ``vmap`` elsewhere —
+    a partially-banked set (banked ``process_noise``, shared pressure) is
+    broadcast."""
+    dtype = bstate.cov.dtype
     lever = (
-        jnp.zeros(3, bstate.cov.dtype)
+        jnp.zeros(3, dtype)
         if pressure_sensor_in_imu is None
-        else jnp.asarray(pressure_sensor_in_imu, bstate.cov.dtype)
+        else jnp.asarray(pressure_sensor_in_imu, dtype)
     )
-    # the pressure model reads params.atmospheric_pressure → shared-params only
-    fused, use_fused = _fused_model_route(use_fused, bstate, params, params_needed=True)
+    banked = params.process_noise.ndim == 3 or jnp.ndim(params.atmospheric_pressure) >= 1
+    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    if banked:
+        nb = bstate.cov.shape[0]
+        p_atm = jnp.broadcast_to(
+            jnp.asarray(params.atmospheric_pressure, dtype).reshape(-1), (nb,)
+        )
+        if fused:
+            from . import pose_update_fused
+
+            aux_bank = jnp.concatenate(
+                [p_atm[:, None], jnp.broadcast_to(lever[None, :], (nb, 3))], axis=1
+            )
+            return pose_update_fused.update_model_fused_banked(
+                "pressure", bstate, z, meas_cov, aux_bank=aux_bank
+            )
+        z = jnp.asarray(z, dtype)
+        rr_b = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, 1, 1))
+
+        def one(s_mu, s_cov, zz, rr, pa):
+            return ukf.update(POSE_MANIFOLD, s_mu, s_cov, zz, _h_pressure(pa, lever), rr)
+
+        mu, cov, info = jax.vmap(one)(bstate.mu, bstate.cov, z, rr_b, p_atm)
+        return bstate._replace(mu=mu, cov=cov), info
     if fused:
         from . import pose_update_fused
 
@@ -706,15 +735,38 @@ def update_pressure_bank(bstate, params, z, meas_cov, pressure_sensor_in_imu=Non
         )
 
     return update_bank(
-        bstate, params, z, meas_cov, _h_pressure(params, lever),
+        bstate, params, z, meas_cov, _h_pressure(params.atmospheric_pressure, lever),
         ("position", "orientation", "gravity", "water_density"), use_fused=use_fused,
     )
 
 
 def update_water_velocity_bank(bstate, params, z, meas_cov, cell_weighting, *, use_fused="auto"):
     """Bank-level ADCP water-current update, χ²-95 gated
-    (``PoseUKF.cpp:133-151,604-611``)."""
+    (``PoseUKF.cpp:133-151,604-611``). ``cell_weighting`` may be a shared
+    scalar or a (B,) array — each instance's ADCP cell is an independent
+    measurement attribute; per-instance values ride the fused kernel's
+    banked-aux lanes on the TPU path and a per-instance ``vmap`` elsewhere."""
     fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    cw = jnp.asarray(cell_weighting, bstate.cov.dtype)
+    if cw.ndim == 1:  # per-instance cell weightings
+        if fused:
+            from . import pose_update_fused
+
+            return pose_update_fused.update_model_fused_banked(
+                "water_velocity", bstate, z, meas_cov, ukf.D2P95, aux_bank=cw[:, None]
+            )
+        nb = bstate.cov.shape[0]
+        z = jnp.asarray(z, bstate.cov.dtype)
+        rr_b = jnp.broadcast_to(jnp.asarray(meas_cov, bstate.cov.dtype), (nb, 2, 2))
+
+        def one(s_mu, s_cov, zz, rr, c):
+            return ukf.update(
+                POSE_MANIFOLD, s_mu, s_cov, zz, _h_water_velocity(c), rr,
+                gate_threshold=ukf.D2P95,
+            )
+
+        mu, cov, info = jax.vmap(one)(bstate.mu, bstate.cov, z, rr_b, cw)
+        return bstate._replace(mu=mu, cov=cov), info
     if fused:
         from . import pose_update_fused
 
@@ -804,13 +856,13 @@ def _h_xy_position(s: PoseState) -> jax.Array:
     return s.position[:2]
 
 
-def _h_pressure(params: PoseUKFParams, lever: jax.Array):
+def _h_pressure(atmospheric_pressure, lever: jax.Array):
     """``measurementPressureSensor`` (``PoseUKF.cpp:107-115``):
     p = p_atm − z_sensor·g·ρ with the sensor lever arm."""
 
     def h(s: PoseState) -> jax.Array:
         sensor_nav = s.position + mf.quat_rotate(s.orientation, lever)
-        p = params.atmospheric_pressure - sensor_nav[2] * s.gravity[0] * s.water_density[0]
+        p = atmospheric_pressure - sensor_nav[2] * s.gravity[0] * s.water_density[0]
         return p[None]
 
     return h
@@ -889,7 +941,8 @@ def update_pressure(state, params, z, meas_cov, pressure_sensor_in_imu=None):
         jnp.zeros(3, z.dtype) if pressure_sensor_in_imu is None else pressure_sensor_in_imu
     )
     mu, cov, info = ukf.update(
-        POSE_MANIFOLD, state.mu, state.cov, z, _h_pressure(params, lever), meas_cov
+        POSE_MANIFOLD, state.mu, state.cov, z,
+        _h_pressure(params.atmospheric_pressure, lever), meas_cov,
     )
     return _apply(state, mu, cov, info)
 

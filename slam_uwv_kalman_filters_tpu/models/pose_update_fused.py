@@ -320,12 +320,18 @@ def _model_measurement(model, mu, y_ref, aux):
     raise ValueError(f"no in-kernel measurement model {model!r}")
 
 
-def _make_update_model_kernel(model: str):
+def _make_update_model_kernel(model: str, banked_aux: bool = False):
     """Whole-update kernel for one in-kernel measurement model: sigma deltas
     (shared equilibrated Cholesky core), h evaluated IN-KERNEL on the sigma
     points, and the shared update tail — one launch, so the (107, 53, B)
     delta tensor never round-trips HBM (~1.5 GB/step saved at a 32k bank vs
-    the generic deltas-kernel → XLA-h → update-kernel pipeline)."""
+    the generic deltas-kernel → XLA-h → update-kernel pipeline).
+
+    ``banked_aux`` swaps the shared SMEM aux scalars for a (5, B) VMEM lane
+    operand — per-instance model parameters (Monte-Carlo sweeps over e.g.
+    ``atmospheric_pressure``, or per-instance ADCP cell weightings); each aux
+    entry is then a (1, B) row broadcasting across the (107, B) sigma
+    components exactly like a scalar."""
     m = FUSED_MODELS[model]
 
     def kernel(
@@ -334,14 +340,15 @@ def _make_update_model_kernel(model: str):
         mu_ref,  # (54, B) prior mean, storage layout
         cov_ref,  # (53, 53, B) prior covariance
         scal_ref,  # (6, 1) SMEM: [gate threshold (<0 ⇒ accept any), aux×5]
-        covo_ref,  # out: (53, 53, B)
-        muo_ref,  # out: (54, B)
-        m2_ref,  # out: (1, B)
-        acc_ref,  # out: (1, B)
-        nu_ref,  # out: (m, B) innovation
-        y_ref,  # scratch: (107, 53, B) sigma tangent deltas
-        c_ref,  # scratch: (53, 53, B) Schur complement
+        *refs,  # [auxb_ref (5, B) if banked_aux] + outs + scratch:
+        #   covo_ref (53, 53, B), muo_ref (54, B), m2_ref (1, B),
+        #   acc_ref (1, B), nu_ref (m, B),
+        #   y_ref scratch (107, 53, B), c_ref scratch (53, 53, B)
     ):
+        if banked_aux:
+            auxb_ref, covo_ref, muo_ref, m2_ref, acc_ref, nu_ref, y_ref, c_ref = refs
+        else:
+            covo_ref, muo_ref, m2_ref, acc_ref, nu_ref, y_ref, c_ref = refs
         n = TANGENT_DIM
         b = cov_ref.shape[-1]
         y_ref[0] = jnp.zeros((n, b), cov_ref.dtype)
@@ -353,7 +360,10 @@ def _make_update_model_kernel(model: str):
         equilibrated_sigma_columns(cov_ref, c_ref, write_column)
 
         mu = mu_ref[:]
-        aux = tuple(scal_ref[1 + i, 0] for i in range(5))
+        if banked_aux:
+            aux = tuple(auxb_ref[i : i + 1, :] for i in range(5))
+        else:
+            aux = tuple(scal_ref[1 + i, 0] for i in range(5))
         dzc, zm = _centered_measurement(model, mu, y_ref, aux)
         z_in = z_ref[:]
         nu = jnp.concatenate([z_in[a : a + 1] - zm[a] for a in range(m)], axis=0)
@@ -376,15 +386,27 @@ def _centered_measurement(model, mu, y_ref, aux):
     return [za - zma for za, zma in zip(Z, zm)], zm
 
 
-def _pose_update_model_lanes(model, z_t, r_t, mu_t, cov_t, scal, *, interpret):
+def _pose_update_model_lanes(model, z_t, r_t, mu_t, cov_t, scal, aux_bank_t=None, *, interpret):
     """One-launch whole update for an in-kernel model; ``scal`` is the (6, 1)
-    SMEM block [gate threshold; aux scalars×5]."""
+    SMEM block [gate threshold; aux scalars×5]. ``aux_bank_t`` (optional,
+    (5, B)) replaces the shared aux scalars with per-instance lanes."""
     nb = cov_t.shape[-1]
     n = TANGENT_DIM
     m = FUSED_MODELS[model]
     lane_spec = kernels.lane_block_spec
+    in_specs = [
+        lane_spec(m),
+        lane_spec(m, m),
+        lane_spec(STORAGE_DIM),
+        lane_spec(n, n),
+        pl.BlockSpec((6, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    operands = [z_t, r_t, mu_t, cov_t, scal]
+    if aux_bank_t is not None:
+        in_specs.append(lane_spec(5))
+        operands.append(aux_bank_t)
     return pl.pallas_call(
-        _make_update_model_kernel(model),
+        _make_update_model_kernel(model, banked_aux=aux_bank_t is not None),
         out_shape=(
             jax.ShapeDtypeStruct((n, n, nb), cov_t.dtype),
             jax.ShapeDtypeStruct((STORAGE_DIM, nb), cov_t.dtype),
@@ -393,13 +415,7 @@ def _pose_update_model_lanes(model, z_t, r_t, mu_t, cov_t, scal, *, interpret):
             jax.ShapeDtypeStruct((m, nb), cov_t.dtype),
         ),
         grid=(nb // LANE_TILE,),
-        in_specs=[
-            lane_spec(m),
-            lane_spec(m, m),
-            lane_spec(STORAGE_DIM),
-            lane_spec(n, n),
-            pl.BlockSpec((6, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             lane_spec(n, n),
             lane_spec(STORAGE_DIM),
@@ -412,7 +428,7 @@ def _pose_update_model_lanes(model, z_t, r_t, mu_t, cov_t, scal, *, interpret):
             pltpu.VMEM((n, n, LANE_TILE), cov_t.dtype),
         ],
         interpret=interpret,
-    )(z_t, r_t, mu_t, cov_t, scal)
+    )(*operands)
 
 
 def _make_step_kernel(models: tuple[str, ...]):
@@ -655,6 +671,20 @@ def _scal_block(gate_threshold, aux, dtype):
     return jnp.stack([jnp.asarray(v, dtype) for v in vals])[:, None]
 
 
+def _aux_bank_lanes(aux_bank, nb, pad, dtype):
+    """(5, nb+pad) lane operand from a (B, k≤5) per-instance aux array —
+    zero-filled to 5 columns and neutral zero pad lanes — or ``None``."""
+    if aux_bank is None:
+        return None
+    ab = jnp.asarray(aux_bank, dtype)
+    if ab.ndim != 2 or ab.shape[0] != nb or ab.shape[1] > 5:
+        raise ValueError(
+            f"aux_bank must be (bank={nb}, k<=5); got {ab.shape}"
+        )
+    ab = jnp.pad(ab, ((0, pad), (0, 5 - ab.shape[1])))
+    return ab.T
+
+
 def update_model_fused_banked(
     model: str,
     bstate: "PoseUKFState",
@@ -662,11 +692,14 @@ def update_model_fused_banked(
     meas_cov: jax.Array,  # (B, m, m) or (m, m)
     gate_threshold: float | None = None,
     aux: tuple = (),
+    aux_bank: jax.Array | None = None,  # (B, k≤5) per-instance aux values
     *,
     interpret: bool = False,
 ) -> tuple["PoseUKFState", ukf.UpdateInfo]:
     """Public-bank-API entry of the in-kernel measurement models
-    (:data:`FUSED_MODELS`): pack → one launch → unpack."""
+    (:data:`FUSED_MODELS`): pack → one launch → unpack. ``aux_bank``
+    replaces the shared ``aux`` scalars with per-instance values (parameter
+    sweeps); shared entries are broadcast columns."""
     dtype = bstate.cov.dtype
     nb = bstate.cov.shape[0]
     m = FUSED_MODELS[model]
@@ -676,6 +709,7 @@ def update_model_fused_banked(
     pad = (-nb) % LANE_TILE
     cov, mu_s, _ = _pad_bank(bstate.cov, _pack_storage(bstate.mu), None, pad, dtype)
     z, meas_cov = _pad_measurement(z, meas_cov, pad, m, dtype)
+    aux_bank_t = _aux_bank_lanes(aux_bank, nb, pad, dtype)
 
     covo_t, muo_t, m2, acc, nu_t = _pose_update_model_lanes(
         model,
@@ -684,6 +718,7 @@ def update_model_fused_banked(
         mu_s.T,
         jnp.transpose(cov, (2, 1, 0)),
         _scal_block(gate_threshold, aux, dtype),
+        aux_bank_t,
         interpret=interpret,
     )
     cov_out = jnp.transpose(_mirror_half(covo_t), (2, 1, 0))[:nb]
@@ -701,6 +736,7 @@ def update_model_lanes(
     meas_cov: jax.Array,  # (B, m, m) or (m, m)
     gate_threshold: float | None = None,
     aux: tuple = (),
+    aux_bank: jax.Array | None = None,  # (B, k≤5) per-instance aux values
     *,
     interpret: bool = False,
 ):
@@ -718,7 +754,9 @@ def update_model_lanes(
     z, meas_cov = _pad_measurement(z, meas_cov, pad, m, dtype)
     covo_t, muo_t, m2, acc, nu_t = _pose_update_model_lanes(
         model, z.T, jnp.transpose(meas_cov, (1, 2, 0)), lstate.mu_t, lstate.cov_t,
-        _scal_block(gate_threshold, aux, dtype), interpret=interpret,
+        _scal_block(gate_threshold, aux, dtype),
+        _aux_bank_lanes(aux_bank, nb, pad, dtype),
+        interpret=interpret,
     )
     info = ukf.UpdateInfo(
         mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=nu_t.T[:nb]

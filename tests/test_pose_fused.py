@@ -363,11 +363,10 @@ def test_fused_predict_banked_params_matches_generic():
 
 
 def test_update_bank_rejects_banked_params():
-    """Parameter-DEPENDENT measurement models reject banked parameter sets
-    (their h closes over per-instance params that neither the fused tail nor
-    a state-only vmap can see). Params-independent models (velocity, z, xy,
-    acceleration, ADCP) accept banked params — pinned by
-    test_update_velocity_bank_accepts_banked_params."""
+    """The generic ``update_bank`` entry rejects banked parameter sets when
+    ``h`` may close over params it cannot re-close per instance. The TYPED
+    parameter-dependent entries route banked values per instance instead —
+    pinned by test_update_pressure_bank_accepts_banked_params."""
     bstate, params = _make_bank(2)
     params_bank = jax.vmap(lambda s: params._replace(process_noise=params.process_noise * s))(
         jnp.asarray([1.0, 2.0], jnp.float32)
@@ -375,10 +374,84 @@ def test_update_bank_rejects_banked_params():
     z = jnp.zeros((2, 1), jnp.float32)
     r = jnp.eye(1, dtype=jnp.float32) * 1e2
     try:
-        pukf.update_pressure_bank(bstate, params_bank, z, r)
+        pukf.update_bank(
+            bstate, params_bank, z, r, lambda s: s.position[2:3], ("position",)
+        )
         assert False, "expected ValueError for banked params"
     except ValueError as e:
         assert "banked parameter set" in str(e)
+
+
+def test_update_pressure_bank_accepts_banked_params():
+    """Banked ``atmospheric_pressure`` (Monte-Carlo sweep): the fused route
+    carries per-instance values on the kernel's banked-aux lanes, the generic
+    route vmaps per instance — both match vmap(update_pressure)."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    bstate, params = _make_bank(3)
+    p_atms = params.atmospheric_pressure * jnp.asarray([0.9, 1.0, 1.1], jnp.float32)
+    params_bank = jax.vmap(
+        lambda s, pa: params._replace(
+            process_noise=params.process_noise * s, atmospheric_pressure=pa
+        )
+    )(jnp.asarray([0.5, 1.0, 2.0], jnp.float32), p_atms)
+    lever = jnp.asarray([0.1, -0.2, 0.3], jnp.float32)
+    z = p_atms[:, None] * 1.001  # plausible pressures near each instance's p_atm
+    r = jnp.eye(1, dtype=jnp.float32) * 1e2
+
+    ref = jax.vmap(lambda st, pr, zz: pukf.update_pressure(st, pr, zz, r, lever))(
+        bstate, params_bank, z
+    )[0]
+    # generic (CPU) banked route: per-instance vmap inside update_pressure_bank
+    out, _ = pukf.update_pressure_bank(bstate, params_bank, z, r, lever, use_fused=False)
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.mu.position), np.asarray(ref.mu.position), atol=1e-6
+    )
+    # fused banked-aux route (interpret mode = the TPU kernel's code path)
+    aux_bank = jnp.concatenate(
+        [p_atms[:, None], jnp.broadcast_to(lever[None], (3, 3))], axis=1
+    )
+    out2, _ = puf.update_model_fused_banked(
+        "pressure", bstate, z, r, aux_bank=aux_bank, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out2.cov), np.asarray(ref.cov), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(out2.mu.position), np.asarray(ref.mu.position), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out2.mu.water_density), np.asarray(ref.mu.water_density), atol=1e-6
+    )
+
+
+def test_update_water_velocity_bank_per_instance_cell_weighting():
+    """Per-instance ADCP cell weightings (each instance's ADCP cell is its own
+    measurement attribute): fused banked-aux route and generic per-instance
+    vmap both match vmap(update_water_velocity)."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+    from slam_uwv_kalman_filters_tpu.ops import ukf as ukf_ops
+
+    bstate, params = _make_bank(3)
+    cw = jnp.asarray([0.0, 0.4, 1.0], jnp.float32)
+    z = jnp.asarray(RNG.normal(scale=0.05, size=(3, 2)), jnp.float32)
+    r = jnp.eye(2, dtype=jnp.float32) * 1e-2
+
+    ref = jax.vmap(lambda st, zz, c: pukf.update_water_velocity(st, params, zz, r, c))(
+        bstate, z, cw
+    )[0]
+    out, _ = pukf.update_water_velocity_bank(bstate, params, z, r, cw, use_fused=False)
+    np.testing.assert_allclose(np.asarray(out.cov), np.asarray(ref.cov), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(out.mu.water_velocity), np.asarray(ref.mu.water_velocity), atol=1e-6
+    )
+    out2, info2 = puf.update_model_fused_banked(
+        "water_velocity", bstate, z, r, ukf_ops.D2P95, aux_bank=cw[:, None], interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out2.cov), np.asarray(ref.cov), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(out2.mu.water_velocity), np.asarray(ref.mu.water_velocity), atol=1e-6
+    )
+    assert bool(np.all(np.asarray(info2.accepted)))
 
 
 def test_fused_predict_odd_bank_sizes():
@@ -504,11 +577,6 @@ def test_update_velocity_bank_accepts_banked_params():
 
     out2, _ = puf.update_velocity_fused_banked(bstate, params_bank, z, r, interpret=True)
     np.testing.assert_allclose(np.asarray(out2.cov), np.asarray(ref.cov), atol=2e-6)
-    # parameter-DEPENDENT models still reject banked params
-    import pytest
-
-    with pytest.raises(ValueError):
-        pukf.update_pressure_bank(bstate, params_bank, jnp.zeros((3, 1)), jnp.ones((3, 1, 1)))
 
 
 def test_all_in_kernel_measurement_models_match_generic():
