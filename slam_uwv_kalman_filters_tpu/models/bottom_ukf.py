@@ -162,14 +162,16 @@ def predict_bank(
     """Bank-level prediction; ONE Pallas launch on the TPU f32 path (incl.
     the in-kernel S² Karcher mean), ``vmap(predict)`` otherwise. A banked
     ``process_noise`` (leading bank axis — Monte-Carlo sweeps) routes to the
-    per-instance vmap on any backend."""
+    per-instance vmap on any backend. ``use_fused="interpret"`` forces the
+    fused route in Pallas interpret mode (off-TPU dispatch testing)."""
     banked = params.process_noise.ndim == 3
+    interpret = use_fused == "interpret"
     if use_fused == "auto":
         use_fused = _fused_ok(bstate) and not banked
     if use_fused:
         from . import bottom_fused
 
-        return bottom_fused.predict_fused_banked(bstate, params, dt)
+        return bottom_fused.predict_fused_banked(bstate, params, dt, interpret=interpret)
     if banked:
         return jax.vmap(lambda s, p: predict(s, p, dt))(bstate, params)
     return jax.vmap(lambda s: predict(s, params, dt))(bstate)
@@ -180,13 +182,14 @@ def update_range_bank(
 ):
     """Bank-level per-beam DVL range update; ``unit_direction``/``origin``
     may be shared ``(3,)`` or per-instance ``(B, 3)``."""
+    interpret = use_fused == "interpret"
     if use_fused == "auto":
         use_fused = _fused_ok(bstate)
     if use_fused:
         from . import bottom_fused
 
         return bottom_fused.update_model_fused_banked(
-            "range", bstate, z, meas_cov, unit_direction, origin
+            "range", bstate, z, meas_cov, unit_direction, origin, interpret=interpret
         )
     nb = bstate.cov.shape[0]
     dtype = bstate.cov.dtype
@@ -198,12 +201,15 @@ def update_range_bank(
 
 def update_normal_bank(bstate, z, meas_cov, *, use_fused: str | bool = "auto"):
     """Bank-level S²-valued normal observation."""
+    interpret = use_fused == "interpret"
     if use_fused == "auto":
         use_fused = _fused_ok(bstate)
     if use_fused:
         from . import bottom_fused
 
-        return bottom_fused.update_model_fused_banked("normal", bstate, z, meas_cov)
+        return bottom_fused.update_model_fused_banked(
+            "normal", bstate, z, meas_cov, interpret=interpret
+        )
     dtype = bstate.cov.dtype
     rr = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (bstate.cov.shape[0], 2, 2))
     return jax.vmap(update_normal)(bstate, jnp.asarray(z, dtype), rr)

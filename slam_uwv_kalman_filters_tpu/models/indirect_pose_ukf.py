@@ -291,12 +291,13 @@ def predict_bank(
     ``orientation_error_tau`` — Monte-Carlo sweeps) route to the
     per-instance vmap on any backend."""
     banked = params.process_noise.ndim == 3 or params.orientation_error_tau.ndim == 1
+    interpret = use_fused == "interpret"
     if use_fused == "auto":
         use_fused = _fused_ok(bstate) and not banked
     if use_fused:
         from . import indirect_fused
 
-        return indirect_fused.predict_fused_banked(bstate, params, dt)
+        return indirect_fused.predict_fused_banked(bstate, params, dt, interpret=interpret)
     if banked:
         nb = bstate.cov.shape[0]
         pb = IndirectPoseUKFParams(
@@ -328,6 +329,7 @@ def update_markers_bank(
     f32 path the 12-DOF augmentation + K chained S² corner updates +
     marginalization run as ONE kernel launch with the augmented state
     resident only in VMEM."""
+    interpret = use_fused == "interpret"
     if use_fused == "auto":
         use_fused = _fused_ok(bstate)
     if use_fused:
@@ -337,6 +339,7 @@ def update_markers_bank(
             bstate, marker_features, feature_covs, feature_positions,
             marker_position, marker_orientation, cov_marker_pose, camera,
             camera_in_body_position, camera_in_body_orientation,
+            interpret=interpret,
         )
     nb = bstate.cov.shape[0]
     dtype = bstate.cov.dtype

@@ -242,24 +242,18 @@ def pose_step_bank(
     bstate, dvl_info = _masked_update(
         bstate, inp.dvl_valid, pukf.update_velocity_bank, bstate, params, inp.dvl, inp.dvl_cov
     )
-    if banked:
-        # the pressure model reads params.atmospheric_pressure, so the
-        # shared-params bank entry rejects sweeps — vmap the per-instance
-        # update over (state, params) instead
-        pres_state, _ = jax.vmap(
-            lambda s, p, z, r: pukf.update_pressure(s, p, z, r)
-        )(bstate, params, inp.pressure, inp.pressure_cov)
-        bstate = select_where(inp.pressure_valid, pres_state, bstate)
-    else:
-        bstate, _ = _masked_update(
-            bstate,
-            inp.pressure_valid,
-            pukf.update_pressure_bank,
-            bstate,
-            params,
-            inp.pressure,
-            inp.pressure_cov,
-        )
+    # the pressure model reads params.atmospheric_pressure; the bank entry
+    # handles banked values itself (fused banked-aux lanes on TPU, a
+    # per-instance vmap elsewhere), so sweeps stay on the fused route
+    bstate, _ = _masked_update(
+        bstate,
+        inp.pressure_valid,
+        pukf.update_pressure_bank,
+        bstate,
+        params,
+        inp.pressure,
+        inp.pressure_cov,
+    )
     bstate, _ = _masked_update(
         bstate, inp.xy_valid, pukf.update_xy_position_bank, bstate, params, inp.xy, inp.xy_cov
     )
@@ -271,7 +265,7 @@ def pose_step_bank(
         params,
         inp.adcp,
         inp.adcp_cov,
-        inp.adcp_cell_weighting[0],
+        inp.adcp_cell_weighting,
     )
     # body efforts need the per-instance compensated body rate -- generic
     # path; with a banked (Monte-Carlo sweep) parameter set the params must
@@ -303,7 +297,7 @@ def run_trajectory_bank(
 ) -> tuple[pukf.PoseUKFState, TickOutput]:
     """Fleet-scale replay: ``lax.scan`` over ticks of :func:`pose_step_bank`
     — inputs have shape (T, bank, ...); one compilation, fused kernels every
-    tick. Note: unlike ``vmap(run_trajectory)``, the prediction interval and
-    ADCP cell weighting are shared across the bank at each tick (the
-    per-vehicle sensor values/validity/covariances still vary)."""
+    tick. Note: unlike ``vmap(run_trajectory)``, the prediction interval is
+    shared across the bank at each tick (the per-vehicle sensor values,
+    validity, covariances and ADCP cell weightings still vary)."""
     return jax.lax.scan(lambda s, i: pose_step_bank(s, params, i), bstate, inputs)

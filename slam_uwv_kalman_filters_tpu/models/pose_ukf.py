@@ -524,7 +524,10 @@ def predict_bank(
     generic XLA op chain (~2.3× step throughput on a v5e, identical math;
     parity pinned by ``tests/test_pose_fused.py``). Both shared and banked
     (Monte-Carlo sweep) parameter sets are supported; falls back to
-    ``vmap(predict)`` for f64 oracle runs and CPU."""
+    ``vmap(predict)`` for f64 oracle runs and CPU. ``use_fused="interpret"``
+    forces the fused route in Pallas interpret mode so tests can exercise
+    this exact dispatch branch off-TPU."""
+    interpret = use_fused == "interpret"
     if use_fused == "auto":
         use_fused = (
             bstate.cov.dtype == jnp.float32
@@ -534,7 +537,7 @@ def predict_bank(
     if use_fused:
         from . import pose_fused
 
-        return pose_fused.predict_fused_banked(bstate, params, dt)
+        return pose_fused.predict_fused_banked(bstate, params, dt, interpret=interpret)
     if params.process_noise.ndim == 3:  # per-instance parameter bank
         return jax.vmap(lambda s, p: predict(s, p, dt))(bstate, params)
     return jax.vmap(lambda s: predict(s, params, dt))(bstate)
@@ -579,6 +582,7 @@ def update_bank(
             "jax.vmap(update_<sensor>)(state, params, ...) for parameter "
             "sweeps (predict_bank supports banked params directly)"
         )
+    interpret = use_fused == "interpret"
     if use_fused == "auto":
         use_fused = (
             bstate.cov.dtype == jnp.float32
@@ -589,7 +593,7 @@ def update_bank(
         from . import pose_update_fused
 
         return pose_update_fused.update_fused_banked(
-            bstate, params, z, meas_cov, h, deps, gate_threshold
+            bstate, params, z, meas_cov, h, deps, gate_threshold, interpret=interpret
         )
 
     def one(s_mu, s_cov, zz, rr):
@@ -607,7 +611,7 @@ def update_bank(
 
 def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     """Bank-level DVL velocity update (``PoseUKF.cpp:117-123,476-482``)."""
-    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    fused, use_fused, interpret = _fused_model_route(use_fused, bstate, params)
     if fused:
         # DVL is the highest-rate sensor: route to the whole-update kernel
         # with the measurement model fused in-kernel (no sigma-delta HBM
@@ -616,7 +620,9 @@ def update_velocity_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
         # sweep) parameter sets.
         from . import pose_update_fused
 
-        return pose_update_fused.update_velocity_fused_banked(bstate, params, z, meas_cov)
+        return pose_update_fused.update_velocity_fused_banked(
+            bstate, params, z, meas_cov, interpret=interpret
+        )
     return update_bank(
         bstate,
         params,
@@ -633,24 +639,30 @@ def _fused_model_route(use_fused, bstate, params):
     """Resolve the fused-route decision shared by the typed bank updates:
     in-kernel measurement models engage on the TPU f32 bank path. Models
     that read parameters pass per-instance values through the kernel's
-    banked-aux lanes, so banked parameter sets stay on the fused route."""
+    banked-aux lanes, so banked parameter sets stay on the fused route.
+    ``use_fused="interpret"`` forces the fused route in Pallas interpret
+    mode (tests exercise the real dispatch branch off-TPU); returns
+    ``(fused, use_fused, interpret)``."""
     del params
+    interpret = use_fused == "interpret"
     if use_fused == "auto":
         use_fused = (
             bstate.cov.dtype == jnp.float32
             and bstate.cov.ndim == 3
             and jax.default_backend() == "tpu"
         )
-    return bool(use_fused), use_fused
+    return bool(use_fused), use_fused, interpret
 
 
 def update_acceleration_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     """Bank-level IMU specific-force update (``PoseUKF.cpp:125-131,484-490``)."""
-    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    fused, use_fused, interpret = _fused_model_route(use_fused, bstate, params)
     if fused:
         from . import pose_update_fused
 
-        return pose_update_fused.update_model_fused_banked("acceleration", bstate, z, meas_cov)
+        return pose_update_fused.update_model_fused_banked(
+            "acceleration", bstate, z, meas_cov, interpret=interpret
+        )
 
     return update_bank(
         bstate, params, z, meas_cov, _h_acceleration,
@@ -661,11 +673,13 @@ def update_acceleration_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
 
 def update_z_position_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
     """Bank-level depth update (``PoseUKF.cpp:100-105,498-504``)."""
-    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    fused, use_fused, interpret = _fused_model_route(use_fused, bstate, params)
     if fused:
         from . import pose_update_fused
 
-        return pose_update_fused.update_model_fused_banked("z_position", bstate, z, meas_cov)
+        return pose_update_fused.update_model_fused_banked(
+            "z_position", bstate, z, meas_cov, interpret=interpret
+        )
     return update_bank(
         bstate, params, z, meas_cov, _h_z_position, ("position",),
         use_fused=use_fused, params_independent=True,
@@ -675,12 +689,12 @@ def update_z_position_bank(bstate, params, z, meas_cov, *, use_fused="auto"):
 def update_xy_position_bank(bstate, params, z, meas_cov, gate_threshold=None, *, use_fused="auto"):
     """Bank-level XY position update (``PoseUKF.cpp:87-92,506-512``);
     pass ``gate_threshold=ukf.D2P95`` for the GPS path (``:567-579``)."""
-    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    fused, use_fused, interpret = _fused_model_route(use_fused, bstate, params)
     if fused:
         from . import pose_update_fused
 
         return pose_update_fused.update_model_fused_banked(
-            "xy_position", bstate, z, meas_cov, gate_threshold
+            "xy_position", bstate, z, meas_cov, gate_threshold, interpret=interpret
         )
     return update_bank(
         bstate, params, z, meas_cov, _h_xy_position, ("position",),
@@ -703,7 +717,7 @@ def update_pressure_bank(bstate, params, z, meas_cov, pressure_sensor_in_imu=Non
         else jnp.asarray(pressure_sensor_in_imu, dtype)
     )
     banked = params.process_noise.ndim == 3 or jnp.ndim(params.atmospheric_pressure) >= 1
-    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    fused, use_fused, interpret = _fused_model_route(use_fused, bstate, params)
     if banked:
         nb = bstate.cov.shape[0]
         p_atm = jnp.broadcast_to(
@@ -716,7 +730,7 @@ def update_pressure_bank(bstate, params, z, meas_cov, pressure_sensor_in_imu=Non
                 [p_atm[:, None], jnp.broadcast_to(lever[None, :], (nb, 3))], axis=1
             )
             return pose_update_fused.update_model_fused_banked(
-                "pressure", bstate, z, meas_cov, aux_bank=aux_bank
+                "pressure", bstate, z, meas_cov, aux_bank=aux_bank, interpret=interpret
             )
         z = jnp.asarray(z, dtype)
         rr_b = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, 1, 1))
@@ -732,6 +746,7 @@ def update_pressure_bank(bstate, params, z, meas_cov, pressure_sensor_in_imu=Non
         return pose_update_fused.update_model_fused_banked(
             "pressure", bstate, z, meas_cov,
             aux=(params.atmospheric_pressure, lever[0], lever[1], lever[2]),
+            interpret=interpret,
         )
 
     return update_bank(
@@ -746,14 +761,15 @@ def update_water_velocity_bank(bstate, params, z, meas_cov, cell_weighting, *, u
     scalar or a (B,) array — each instance's ADCP cell is an independent
     measurement attribute; per-instance values ride the fused kernel's
     banked-aux lanes on the TPU path and a per-instance ``vmap`` elsewhere."""
-    fused, use_fused = _fused_model_route(use_fused, bstate, params)
+    fused, use_fused, interpret = _fused_model_route(use_fused, bstate, params)
     cw = jnp.asarray(cell_weighting, bstate.cov.dtype)
     if cw.ndim == 1:  # per-instance cell weightings
         if fused:
             from . import pose_update_fused
 
             return pose_update_fused.update_model_fused_banked(
-                "water_velocity", bstate, z, meas_cov, ukf.D2P95, aux_bank=cw[:, None]
+                "water_velocity", bstate, z, meas_cov, ukf.D2P95,
+                aux_bank=cw[:, None], interpret=interpret,
             )
         nb = bstate.cov.shape[0]
         z = jnp.asarray(z, bstate.cov.dtype)
@@ -771,7 +787,8 @@ def update_water_velocity_bank(bstate, params, z, meas_cov, cell_weighting, *, u
         from . import pose_update_fused
 
         return pose_update_fused.update_model_fused_banked(
-            "water_velocity", bstate, z, meas_cov, ukf.D2P95, aux=(cell_weighting,)
+            "water_velocity", bstate, z, meas_cov, ukf.D2P95,
+            aux=(cell_weighting,), interpret=interpret,
         )
 
     return update_bank(

@@ -698,8 +698,15 @@ def update_model_fused_banked(
 ) -> tuple["PoseUKFState", ukf.UpdateInfo]:
     """Public-bank-API entry of the in-kernel measurement models
     (:data:`FUSED_MODELS`): pack → one launch → unpack. ``aux_bank``
-    replaces the shared ``aux`` scalars with per-instance values (parameter
-    sweeps); shared entries are broadcast columns."""
+    replaces ALL aux values with per-instance lanes (parameter sweeps);
+    callers with a mix of shared and per-instance entries broadcast the
+    shared ones into their ``aux_bank`` columns (the kernel reads only the
+    lanes when they are present, so passing both is rejected)."""
+    if aux and aux_bank is not None:
+        raise ValueError(
+            "pass either shared aux scalars or a per-instance aux_bank, not "
+            "both — broadcast shared entries into their aux_bank columns"
+        )
     dtype = bstate.cov.dtype
     nb = bstate.cov.shape[0]
     m = FUSED_MODELS[model]
@@ -744,6 +751,11 @@ def update_model_lanes(
     kernel-layout state — the zero-HBM-round-trip path of the steady-state
     loop; measurement models outside :data:`FUSED_MODELS` use the generic
     :func:`update_lanes`. Returns ``(LanesBankState, UpdateInfo)``."""
+    if aux and aux_bank is not None:
+        raise ValueError(
+            "pass either shared aux scalars or a per-instance aux_bank, not "
+            "both — broadcast shared entries into their aux_bank columns"
+        )
     dtype = lstate.cov_t.dtype
     nb_pad = lstate.cov_t.shape[-1]
     nb = z.shape[0]

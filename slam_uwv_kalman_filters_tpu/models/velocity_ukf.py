@@ -247,13 +247,16 @@ def predict_bank(
     Fossen dynamics + tracker advance, ``models/velocity_fused.py``) —
     measured ~20× the generic ``vmap`` chain at bank 32k on a v5e; falls
     back to ``vmap(predict)`` for f64 oracle runs, CPU, and parameter
-    sweeps (banked ``params``)."""
+    sweeps (banked ``params``). ``use_fused="interpret"`` forces the fused
+    route in Pallas interpret mode (tests exercise the real dispatch branch
+    off-TPU)."""
+    interpret = use_fused == "interpret"
     if use_fused == "auto":
         use_fused = _fused_ok(bstate, params)
     if use_fused:
         from . import velocity_fused
 
-        return velocity_fused.predict_fused_banked(bstate, params, dt)
+        return velocity_fused.predict_fused_banked(bstate, params, dt, interpret=interpret)
     if _params_banked(params):  # per-instance parameter bank (sweeps)
         pb = _broadcast_params_bank(params, bstate.cov.shape[0])
         return jax.vmap(lambda s, p: predict(s, p, dt))(bstate, pb)
@@ -261,6 +264,7 @@ def predict_bank(
 
 
 def _update_bank(model, fn, bstate, z, meas_cov, use_fused):
+    interpret = use_fused == "interpret"
     if use_fused == "auto":
         use_fused = (
             bstate.cov.dtype == jnp.float32
@@ -270,7 +274,9 @@ def _update_bank(model, fn, bstate, z, meas_cov, use_fused):
     if use_fused:
         from . import velocity_fused
 
-        return velocity_fused.update_model_fused_banked(model, bstate, z, meas_cov)
+        return velocity_fused.update_model_fused_banked(
+            model, bstate, z, meas_cov, interpret=interpret
+        )
     rr = jnp.broadcast_to(
         jnp.asarray(meas_cov, bstate.cov.dtype), (bstate.cov.shape[0], z.shape[-1], z.shape[-1])
     )

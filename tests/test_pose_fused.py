@@ -140,27 +140,27 @@ def test_fused_update_all_measurement_models():
 
     cases = [
         ("acceleration",
-         lambda bs, z: pukf.update_acceleration_bank(bs, params, z, r3, use_fused=True),
+         lambda bs, z: pukf.update_acceleration_bank(bs, params, z, r3, use_fused="interpret"),
          lambda s, z: pukf.update_acceleration(s, params, z, r3),
          jnp.asarray(RNG.normal(scale=0.5, size=(2, 3)), jnp.float32)),
         ("z_position",
-         lambda bs, z: pukf.update_z_position_bank(bs, params, z, r1, use_fused=True),
+         lambda bs, z: pukf.update_z_position_bank(bs, params, z, r1, use_fused="interpret"),
          lambda s, z: pukf.update_z_position(s, params, z, r1),
          jnp.asarray(RNG.normal(scale=1.0, size=(2, 1)), jnp.float32)),
         ("xy_position",
-         lambda bs, z: pukf.update_xy_position_bank(bs, params, z, r2, use_fused=True),
+         lambda bs, z: pukf.update_xy_position_bank(bs, params, z, r2, use_fused="interpret"),
          lambda s, z: pukf.update_xy_position(s, params, z, r2),
          jnp.asarray(RNG.normal(scale=1.0, size=(2, 2)), jnp.float32)),
         ("pressure",
-         lambda bs, z: pukf.update_pressure_bank(bs, params, z, r1 * 1e4, use_fused=True),
+         lambda bs, z: pukf.update_pressure_bank(bs, params, z, r1 * 1e4, use_fused="interpret"),
          lambda s, z: pukf.update_pressure(s, params, z, r1 * 1e4),
          jnp.asarray(101325.0 + RNG.normal(scale=100.0, size=(2, 1)), jnp.float32)),
         ("water_velocity",
-         lambda bs, z: pukf.update_water_velocity_bank(bs, params, z, r2, 0.7, use_fused=True),
+         lambda bs, z: pukf.update_water_velocity_bank(bs, params, z, r2, 0.7, use_fused="interpret"),
          lambda s, z: pukf.update_water_velocity(s, params, z, r2, 0.7),
          jnp.asarray(RNG.normal(scale=0.1, size=(2, 2)), jnp.float32)),
         ("body_efforts",
-         lambda bs, z: pukf.update_body_efforts_bank(bs, params, z, r6, rr_body, use_fused=True),
+         lambda bs, z: pukf.update_body_efforts_bank(bs, params, z, r6, rr_body, use_fused="interpret"),
          lambda s, z: (_bef(s, z),),
          jnp.asarray(RNG.normal(scale=1.0, size=(2, 6)), jnp.float32)),
     ]
@@ -172,31 +172,21 @@ def test_fused_update_all_measurement_models():
         mu, cov, info = ukfmod.update(pukf.POSE_MANIFOLD, s.mu, s.cov, z, h, r6)
         return s._replace(mu=mu, cov=cov)
 
-    # interpret-mode fused calls are routed by patching the backend gate off
-    # (both the generic fused tail and the in-kernel-model entry points)
-    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
-    import functools
-    orig = puf.update_fused_banked
-    orig_model = puf.update_model_fused_banked
-    puf.update_fused_banked = functools.partial(orig, interpret=True)
-    puf.update_model_fused_banked = functools.partial(orig_model, interpret=True)
-    try:
-        for name, bank_fn, one_fn, z in cases:
-            out = bank_fn(bstate, z)
-            out_s = out[0] if isinstance(out, tuple) else out
-            ref = one_fn(s0, z[0])
-            ref_s = ref[0] if isinstance(ref, tuple) else ref
-            np.testing.assert_allclose(
-                np.asarray(out_s.cov[0]), np.asarray(ref_s.cov), rtol=5e-3, atol=5e-5,
-                err_msg=name,
-            )
-            np.testing.assert_allclose(
-                np.asarray(out_s.mu.position[0]), np.asarray(ref_s.mu.position),
-                rtol=1e-4, atol=1e-4, err_msg=name,
-            )
-    finally:
-        puf.update_fused_banked = orig
-        puf.update_model_fused_banked = orig_model
+    # use_fused="interpret" drives the REAL dispatch branches (generic fused
+    # tail and in-kernel-model entry points) in Pallas interpret mode
+    for name, bank_fn, one_fn, z in cases:
+        out = bank_fn(bstate, z)
+        out_s = out[0] if isinstance(out, tuple) else out
+        ref = one_fn(s0, z[0])
+        ref_s = ref[0] if isinstance(ref, tuple) else ref
+        np.testing.assert_allclose(
+            np.asarray(out_s.cov[0]), np.asarray(ref_s.cov), rtol=5e-3, atol=5e-5,
+            err_msg=name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s.mu.position[0]), np.asarray(ref_s.mu.position),
+            rtol=1e-4, atol=1e-4, err_msg=name,
+        )
 
 
 def test_fused_predict_large_orientation_spread():
@@ -386,8 +376,6 @@ def test_update_pressure_bank_accepts_banked_params():
     """Banked ``atmospheric_pressure`` (Monte-Carlo sweep): the fused route
     carries per-instance values on the kernel's banked-aux lanes, the generic
     route vmaps per instance — both match vmap(update_pressure)."""
-    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
-
     bstate, params = _make_bank(3)
     p_atms = params.atmospheric_pressure * jnp.asarray([0.9, 1.0, 1.1], jnp.float32)
     params_bank = jax.vmap(
@@ -408,12 +396,11 @@ def test_update_pressure_bank_accepts_banked_params():
     np.testing.assert_allclose(
         np.asarray(out.mu.position), np.asarray(ref.mu.position), atol=1e-6
     )
-    # fused banked-aux route (interpret mode = the TPU kernel's code path)
-    aux_bank = jnp.concatenate(
-        [p_atms[:, None], jnp.broadcast_to(lever[None], (3, 3))], axis=1
-    )
-    out2, _ = puf.update_model_fused_banked(
-        "pressure", bstate, z, r, aux_bank=aux_bank, interpret=True
+    # fused banked-aux route through the REAL dispatch branch (interpret mode
+    # = the TPU kernel's code path, aux_bank packed by update_pressure_bank
+    # itself so the dispatch packing can't drift from what this test pins)
+    out2, _ = pukf.update_pressure_bank(
+        bstate, params_bank, z, r, lever, use_fused="interpret"
     )
     np.testing.assert_allclose(np.asarray(out2.cov), np.asarray(ref.cov), atol=2e-6)
     np.testing.assert_allclose(
@@ -424,13 +411,29 @@ def test_update_pressure_bank_accepts_banked_params():
     )
 
 
+def test_update_model_fused_banked_rejects_mixed_aux():
+    """Passing both shared aux scalars and a per-instance aux_bank is an
+    error: the kernel reads only the banked lanes, so mixed entries would
+    silently zero the shared values (ADVICE r1)."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    bstate, _ = _make_bank(2)
+    z = jnp.zeros((2, 1), jnp.float32)
+    r = jnp.eye(1, dtype=jnp.float32)
+    try:
+        puf.update_model_fused_banked(
+            "pressure", bstate, z, r,
+            aux=(101325.0,), aux_bank=jnp.zeros((2, 4), jnp.float32),
+        )
+        assert False, "expected ValueError for mixed aux/aux_bank"
+    except ValueError as e:
+        assert "aux_bank" in str(e)
+
+
 def test_update_water_velocity_bank_per_instance_cell_weighting():
     """Per-instance ADCP cell weightings (each instance's ADCP cell is its own
     measurement attribute): fused banked-aux route and generic per-instance
     vmap both match vmap(update_water_velocity)."""
-    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
-    from slam_uwv_kalman_filters_tpu.ops import ukf as ukf_ops
-
     bstate, params = _make_bank(3)
     cw = jnp.asarray([0.0, 0.4, 1.0], jnp.float32)
     z = jnp.asarray(RNG.normal(scale=0.05, size=(3, 2)), jnp.float32)
@@ -444,8 +447,9 @@ def test_update_water_velocity_bank_per_instance_cell_weighting():
     np.testing.assert_allclose(
         np.asarray(out.mu.water_velocity), np.asarray(ref.mu.water_velocity), atol=1e-6
     )
-    out2, info2 = puf.update_model_fused_banked(
-        "water_velocity", bstate, z, r, ukf_ops.D2P95, aux_bank=cw[:, None], interpret=True
+    # fused banked-aux route through the REAL dispatch branch (interpret mode)
+    out2, info2 = pukf.update_water_velocity_bank(
+        bstate, params, z, r, cw, use_fused="interpret"
     )
     np.testing.assert_allclose(np.asarray(out2.cov), np.asarray(ref.cov), atol=2e-6)
     np.testing.assert_allclose(
