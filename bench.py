@@ -15,11 +15,10 @@ which is what the reference's ukfom/MTK stack compiles to. ``vs_baseline`` is
 the speedup of the batched TPU path over that single-instance CPU rate (the
 north-star target is ≥100×).
 
-Environment knobs: BENCH_BANK (default 32768; throughput keeps creeping up
-with bank size — ~3.0M steps/s at 32k, a few % more at 131k — but the larger
-shapes' compile times are too variable for an unattended timed run),
-BENCH_ITERS (default 30), BENCH_DTYPE (float32 on TPU — f64 does not
-compile on this backend).
+Environment knobs: BENCH_BANK (default 65536 — measured ~4.5% over 32k and
+within ~1% of 131k, whose extra compile-time variability isn't worth it for
+an unattended timed run), BENCH_ITERS (default 30), BENCH_DTYPE (float32 on
+TPU — f64 does not compile on this backend).
 """
 
 from __future__ import annotations
@@ -308,7 +307,7 @@ def main():
     # compile per shape on first use; cached reruns start in seconds
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    bank_n = int(os.environ.get("BENCH_BANK", "32768"))
+    bank_n = int(os.environ.get("BENCH_BANK", "65536"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     scenario = os.environ.get("BENCH_SCENARIO", "pose")
     backend = jax.default_backend()
