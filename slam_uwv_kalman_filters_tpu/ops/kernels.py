@@ -122,14 +122,23 @@ def _cholesky_lanes(x_t: jax.Array, *, interpret: bool) -> jax.Array:
     )(x_t)
 
 
-def equilibrated_sigma_columns(a_ref, s_ref, write_column) -> None:
+def equilibrated_sigma_columns(a_ref, s_ref, write_column, *, keep_columns=False):
     """Shared core of the sigma-delta kernels: equilibrated right-looking
     Cholesky over an (n, n, B) (col, row, B) covariance tile, emitting the
     un-equilibrated columns of L = D·chol(D⁻¹·A·D⁻¹), D = √diag(A), through
-    ``write_column(j, final)`` as each finishes. Used by both the standalone
-    sigma-delta kernel below and the fused PoseUKF predict kernel
-    (``models/pose_fused.py``) so a numerical change propagates to both.
-    ``s_ref``: (n, n, B) scratch for the equilibrated Schur complement."""
+    ``write_column(j, final)`` as each finishes. Used by the standalone
+    sigma-delta kernel below and the fused PoseUKF kernels
+    (``models/pose_fused.py`` / ``pose_update_fused.py``) so a numerical
+    change propagates to all. ``s_ref``: (n, n, B) scratch for the
+    equilibrated Schur complement.
+
+    ``keep_columns=True`` persists each FINALIZED equilibrated column in
+    ``s_ref[j]`` full-width — explicit zero head, the pivot √ on the
+    diagonal, the below-vector underneath — so the whole factor is
+    recoverable after the loop as ``s_ref[j]·dvec`` (``write_column`` may
+    then be ``None``). Safe because every in-panel/slab downdate reads a
+    prior column only at rows STRICTLY below its diagonal. Returns ``dvec``
+    (the (n, B) un-equilibration row scale √diag(A))."""
     n, _, b = a_ref.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (n, b), 0)
     tiny = jnp.asarray(jnp.finfo(a_ref.dtype).tiny, a_ref.dtype)
@@ -169,19 +178,31 @@ def equilibrated_sigma_columns(a_ref, s_ref, write_column) -> None:
                 colt = colt - bt[j - jb : j - jb + 1] * bt
             dj = jnp.sqrt(colt[j - jb : j - jb + 1])
             belowt = jnp.where(rowt > j, colt * (1.0 / dj), jnp.zeros((), colt.dtype))
-            finalt = jnp.where(rowt == j, dj, belowt) * dvec[jb:]  # un-equilibrated
-            final = (
-                jnp.concatenate([jnp.zeros((jb, b), finalt.dtype), finalt], axis=0)
-                if jb
-                else finalt
-            )
-            write_column(j, final)
+            if write_column is not None:
+                finalt = jnp.where(rowt == j, dj, belowt) * dvec[jb:]  # un-equilibrated
+                final = (
+                    jnp.concatenate([jnp.zeros((jb, b), finalt.dtype), finalt], axis=0)
+                    if jb
+                    else finalt
+                )
+                write_column(j, final)
             # materialize the below-vector over its (now dead) scratch column:
             # panel mates and the slab update read it back as a value, which
             # keeps every expression tree linear (leaving the belows as lazy
             # expressions nests each column's tree inside the next —
-            # exponential blowup that stalls the Mosaic compiler)
-            s_ref[j, jb:] = belowt
+            # exponential blowup that stalls the Mosaic compiler). In
+            # keep_columns mode the store is full-width with the pivot on the
+            # diagonal; downstream in-panel/slab reads only touch rows below
+            # the diagonal, so the finalized form is read-compatible.
+            if keep_columns:
+                kept = jnp.where(rowt == j, dj, belowt)
+                s_ref[j] = (
+                    jnp.concatenate([jnp.zeros((jb, b), kept.dtype), kept], axis=0)
+                    if jb
+                    else kept
+                )
+            else:
+                s_ref[j, jb:] = belowt
         if je < n:
             cut = je - jb
             upd = None
@@ -190,6 +211,7 @@ def equilibrated_sigma_columns(a_ref, s_ref, write_column) -> None:
                 term = bt[cut:][:, None, :] * bt[cut:][None, :, :]
                 upd = term if upd is None else upd + term
             s_ref[je:, je:] = s_ref[je:, je:] - upd
+    return dvec
 
 
 def _sigma_deltas_kernel(a_ref, out_ref, s_ref):

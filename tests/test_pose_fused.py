@@ -399,15 +399,17 @@ def test_update_pressure_bank_accepts_banked_params():
     # fused banked-aux route through the REAL dispatch branch (interpret mode
     # = the TPU kernel's code path, aux_bank packed by update_pressure_bank
     # itself so the dispatch packing can't drift from what this test pins)
+    # tolerances: the streaming kernel sums {0, +cols, −cols} instead of the
+    # generic path's interleaved ±ordering — f32 ulp-level shifts only
     out2, _ = pukf.update_pressure_bank(
         bstate, params_bank, z, r, lever, use_fused="interpret"
     )
     np.testing.assert_allclose(np.asarray(out2.cov), np.asarray(ref.cov), atol=2e-6)
     np.testing.assert_allclose(
-        np.asarray(out2.mu.position), np.asarray(ref.mu.position), atol=1e-6
+        np.asarray(out2.mu.position), np.asarray(ref.mu.position), atol=5e-6
     )
     np.testing.assert_allclose(
-        np.asarray(out2.mu.water_density), np.asarray(ref.mu.water_density), atol=1e-6
+        np.asarray(out2.mu.water_density), np.asarray(ref.mu.water_density), atol=5e-6
     )
 
 
