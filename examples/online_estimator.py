@@ -5,10 +5,10 @@ The deployment shape the reference's ROCK component implements by hand
 
 1. sensors deliver an **irregular, slightly out-of-order event stream**
    (timestamped gyro / DVL / pressure packets);
-2. the native C++ packer (``runtime/``, NumPy fallback when no compiler)
-   converts each arriving chunk into a dense tick grid with validity masks —
-   the host-side work that would otherwise serialize Python in the ingest
-   path;
+2. the native C++ STREAMING packer (``runtime.StreamPacker``, NumPy fallback
+   when no compiler) stages each arriving chunk incrementally and releases
+   dense tick windows with validity masks in order — the host-side work that
+   would otherwise serialize Python in the ingest path;
 3. the filter bank advances chunk by chunk with **separately-dispatched**
    jitted calls, holding the state in kernel (lanes) layout between calls
    (``models.pose_fused.LanesBankState``) so per-dispatch layout conversions
@@ -183,6 +183,13 @@ def main(argv=None):
     total_events = dropped_total = 0  # integrate the last received rate
     wall = 0.0
     steady_wall, steady_chunks = 0.0, 0
+    # streaming ingest: one packer for the whole mission, one released
+    # window per wall second (forced: each chunk's events are all pushed
+    # before its window closes, so the flush is exact)
+    packer = runtime.StreamPacker(
+        sensor_dims, t0_us=0, dt_us=int(1e6 / args.rate),
+        window_ticks=n_ticks, payload_stride=6,
+    )
     for sec in range(args.seconds):
         t0_us = int(sec * 1e6)
         ts, ids, payloads = make_event_chunk(
@@ -190,10 +197,10 @@ def main(argv=None):
         )
         total_events += len(ts)
         t_start = time.perf_counter()
-        values, valid, dropped = runtime.pack_schedule(
-            ts, ids, payloads, sensor_dims, t0_us, int(1e6 / args.rate), n_ticks
-        )
-        dropped_total += int(dropped)
+        packer.push(ts, ids, payloads)
+        widx, values, valid = packer.pop(force=True)
+        assert widx == sec
+        dropped_total = packer.dropped
         gyro_vals, _ = runtime.forward_fill(values[GYRO], valid[GYRO], last_gyro)
         last_gyro = gyro_vals[-1, :3].copy()
         # per-tick dispatch against the persistent lanes state

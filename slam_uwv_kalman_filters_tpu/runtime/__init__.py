@@ -31,6 +31,7 @@ __all__ = [
     "pack_schedule",
     "forward_fill",
     "NativeDelayedStates",
+    "StreamPacker",
 ]
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
@@ -90,6 +91,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.uwv_delayed_states_closest.argtypes = [ctypes.c_void_p, i64, f64p, f64p]
     lib.uwv_from_seconds.restype = i64
     lib.uwv_from_seconds.argtypes = [ctypes.c_double]
+    lib.uwv_stream_new.restype = ctypes.c_void_p
+    lib.uwv_stream_new.argtypes = [i32, i32, i32p, i64, i64, i64]
+    lib.uwv_stream_free.argtypes = [ctypes.c_void_p]
+    lib.uwv_stream_push.restype = i64
+    lib.uwv_stream_push.argtypes = [ctypes.c_void_p, i64p, i32p, f64p, i64]
+    lib.uwv_stream_ready.restype = i32
+    lib.uwv_stream_ready.argtypes = [ctypes.c_void_p]
+    lib.uwv_stream_pop.restype = i64
+    lib.uwv_stream_pop.argtypes = [ctypes.c_void_p, i32, f64p, u8p]
+    lib.uwv_stream_dropped.restype = i64
+    lib.uwv_stream_dropped.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -243,3 +255,145 @@ class NativeDelayedStates:
     def __del__(self):
         if getattr(self, "_h", None) is not None and self._lib is not None:
             self._lib.uwv_delayed_states_free(self._h)
+
+
+class StreamPacker:
+    """Incremental event-stream → tick-window packer (online ingest).
+
+    :func:`pack_schedule` is a one-shot batch call; an online estimator
+    instead receives sensor events continuously and steps the device one
+    fixed-size window of ticks at a time. ``push`` stages batches of
+    (possibly out-of-order) events; ``pop`` releases consecutive windows —
+    ``(window_index, values [n_sensors, ticks, stride], valid)`` — once the
+    push watermark (the newest timestamp seen) has passed their end, so a
+    driver loop can overlap device compute on window *k* with ingest of
+    window *k+1*. Events for already-released windows are late and counted
+    in :attr:`dropped`. Native C++ (``uwv_stream_*``) with an equivalent
+    NumPy fallback."""
+
+    def __init__(self, sensor_dims, t0_us: int, dt_us: int, window_ticks: int,
+                 payload_stride: Optional[int] = None):
+        sensor_dims = np.ascontiguousarray(sensor_dims, np.int32)
+        if sensor_dims.size == 0:
+            raise ValueError("sensor_dims is empty")
+        if dt_us <= 0 or window_ticks <= 0:
+            raise ValueError(
+                f"dt_us and window_ticks must be positive, got {dt_us}, {window_ticks}"
+            )
+        self._dims = sensor_dims
+        self._n_sensors = int(sensor_dims.size)
+        self._stride = int(payload_stride or max(1, int(sensor_dims.max())))
+        if self._stride < int(sensor_dims.max()):
+            raise ValueError(
+                f"payload_stride {self._stride} is narrower than the widest "
+                f"sensor ({int(sensor_dims.max())})"
+            )
+        self._t0 = int(t0_us)
+        self._dt = int(dt_us)
+        self._ticks = int(window_ticks)
+        self._lib = _load()
+        if self._lib is not None:
+            self._h = self._lib.uwv_stream_new(
+                self._n_sensors, self._stride, sensor_dims,
+                self._t0, self._dt, self._ticks,
+            )
+            if not self._h:
+                raise ValueError("native StreamPacker rejected the arguments")
+        else:  # NumPy fallback state
+            self._h = None
+            self._next_window = 0
+            self._watermark = np.iinfo(np.int64).min
+            self._dropped = 0
+            self._staged: dict = {}
+
+    @property
+    def dropped(self) -> int:
+        if self._h is not None:
+            return int(self._lib.uwv_stream_dropped(self._h))
+        return self._dropped
+
+    def push(self, timestamps_us, sensor_ids, payloads) -> int:
+        """Stage events; returns the number dropped in this call."""
+        ts = np.ascontiguousarray(timestamps_us, np.int64)
+        ids = np.ascontiguousarray(sensor_ids, np.int32)
+        pay = np.ascontiguousarray(payloads, np.float64)
+        if pay.ndim == 1:
+            pay = pay.reshape(len(ts), -1)
+        if pay.shape[1] != self._stride:
+            padded = np.zeros((len(ts), self._stride), np.float64)
+            padded[:, : pay.shape[1]] = pay[:, : self._stride]
+            pay = padded
+        if self._h is not None:
+            return int(self._lib.uwv_stream_push(self._h, ts, ids, pay, len(ts)))
+        span = self._dt * self._ticks
+        dropped = 0
+        for e in range(len(ts)):
+            sid = int(ids[e])
+            rel = int(ts[e]) - self._t0
+            if not (0 <= sid < self._n_sensors) or rel < 0:
+                dropped += 1
+                continue
+            w = rel // span
+            if w < self._next_window:
+                dropped += 1
+                continue
+            win = self._staged.setdefault(
+                w,
+                (
+                    np.zeros((self._n_sensors, self._ticks, self._stride)),
+                    np.zeros((self._n_sensors, self._ticks), np.uint8),
+                    np.full((self._n_sensors, self._ticks), np.iinfo(np.int64).min, np.int64),
+                ),
+            )
+            tick = (rel - w * span) // self._dt
+            if ts[e] < win[2][sid, tick]:
+                continue
+            win[2][sid, tick] = ts[e]
+            win[1][sid, tick] = 1
+            d = int(self._dims[sid])
+            win[0][sid, tick, :d] = pay[e, :d]
+            if int(ts[e]) > self._watermark:
+                self._watermark = int(ts[e])
+        self._dropped += dropped
+        return dropped
+
+    def ready(self) -> bool:
+        """True if the next in-order window can be released."""
+        if self._h is not None:
+            return bool(self._lib.uwv_stream_ready(self._h))
+        end = self._t0 + (self._next_window + 1) * self._dt * self._ticks
+        return self._watermark >= end
+
+    def pop(self, force: bool = False):
+        """Release the next in-order window → (index, values, valid) or None.
+
+        Windows with no staged events release as all-invalid tick grids;
+        ``force=True`` flushes at stream end (release even though the
+        watermark has not passed the window's end)."""
+        if self._h is not None:
+            values = np.zeros((self._n_sensors, self._ticks, self._stride), np.float64)
+            valid = np.zeros((self._n_sensors, self._ticks), np.uint8)
+            w = self._lib.uwv_stream_pop(
+                self._h, 1 if force else 0, values.reshape(-1), valid.reshape(-1)
+            )
+            if w < 0:
+                return None
+            return int(w), values, valid.astype(bool)
+        if not self.ready():
+            behind = self._watermark >= self._t0 + self._next_window * self._dt * self._ticks
+            if not (force and (self._staged or behind)):
+                return None
+        w = self._next_window
+        self._next_window += 1
+        win = self._staged.pop(w, None)
+        if win is None:
+            return (
+                w,
+                np.zeros((self._n_sensors, self._ticks, self._stride)),
+                np.zeros((self._n_sensors, self._ticks), bool),
+            )
+        return w, win[0], win[1].astype(bool)
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            self._lib.uwv_stream_free(self._h)

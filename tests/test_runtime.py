@@ -182,3 +182,123 @@ def test_native_delayed_states_rejects_bad_sizes():
     with pytest.raises(ValueError, match="push expects"):
         nb.push(0, np.zeros(3), np.zeros((3, 2)))
     nb.push(0, np.zeros(3), np.zeros((3, 3)))  # correct shapes still accepted
+
+
+# ---------------------------------------------------------------------------
+# StreamPacker — incremental windowed ingest (native + fallback parity)
+# ---------------------------------------------------------------------------
+
+
+def _stream_events(rng, n_windows=4, window_ticks=50, dt=10_000):
+    """Multi-rate events spanning n_windows windows, shuffled."""
+    ts, sid, pay = [], [], []
+    horizon = n_windows * window_ticks * dt
+    for k in range(horizon // dt):  # sensor 0 at tick rate
+        ts.append(k * dt + int(rng.integers(0, dt // 2)))
+        sid.append(0)
+        pay.append(np.r_[rng.normal(0, 1, 3), 0, 0, 0])
+    for k in range(horizon // 200_000):  # sensor 1 at 5 Hz
+        ts.append(k * 200_000)
+        sid.append(1)
+        pay.append(np.r_[1.0 + k, 2.0, 3.0, 0, 0, 0])
+    ts = np.array(ts, np.int64)
+    sid = np.array(sid, np.int32)
+    pay = np.array(pay)
+    # time-sorted globally: the streamer releases a window once the push
+    # watermark passes it, so delivery must not jump backwards across whole
+    # windows; the tests shuffle WITHIN each push chunk (bounded reordering)
+    order = np.argsort(ts, kind="stable")
+    return ts[order], sid[order], pay[order]
+
+
+def test_stream_packer_matches_batch_packer():
+    """Windows released by the streamer, concatenated, equal the one-shot
+    batch packer over the same horizon."""
+    assert rt.build(), "native runtime must compile in this image"
+    rng = np.random.default_rng(11)
+    dims = np.array([3, 3], np.int32)
+    ts, sid, pay = _stream_events(rng)
+    ref_vals, ref_valid, _ = rt.pack_schedule(ts, sid, pay, dims, 0, 10_000, 200)
+
+    sp = rt.StreamPacker(dims, t0_us=0, dt_us=10_000, window_ticks=50, payload_stride=6)
+    got_vals, got_valid = [], []
+    # deliver in chunks (shuffled within each — out-of-order within a push is
+    # fully supported), popping whatever is ready between pushes
+    for chunk in np.array_split(np.arange(len(ts)), 7):
+        chunk = rng.permutation(chunk)
+        sp.push(ts[chunk], sid[chunk], pay[chunk])
+        while True:
+            out = sp.pop()
+            if out is None:
+                break
+            w, v, f = out
+            assert w == len(got_vals)
+            got_vals.append(v)
+            got_valid.append(f)
+    while True:  # flush the tail
+        out = sp.pop(force=True)
+        if out is None:
+            break
+        got_vals.append(out[1])
+        got_valid.append(out[2])
+    assert len(got_vals) == 4
+    np.testing.assert_allclose(np.concatenate(got_vals, axis=1), ref_vals)
+    np.testing.assert_array_equal(np.concatenate(got_valid, axis=1), ref_valid)
+    assert sp.dropped == 0
+
+
+def test_stream_packer_late_events_dropped():
+    dims = np.array([2], np.int32)
+    sp = rt.StreamPacker(dims, t0_us=0, dt_us=1_000, window_ticks=10)
+    # watermark passes window 0 (event in window 1), window 0 releases
+    assert sp.push([10_500], [0], [[1.0, 2.0]]) == 0
+    assert sp.ready()
+    w, v, f = sp.pop()
+    assert w == 0 and not f.any()
+    # a late event for the released window 0 is dropped and counted
+    assert sp.push([500], [0], [[9.0, 9.0]]) == 1
+    assert sp.dropped == 1
+    # negative-time and bad-id events are dropped too
+    assert sp.push([-5, 5_000_000], [0, 7], [[0.0, 0.0], [0.0, 0.0]]) == 2
+    # window 1 still releases with its event once forced or watermark passes
+    w, v, f = sp.pop(force=True)
+    assert w == 1 and f[0, 0]
+    np.testing.assert_allclose(v[0, 0, :2], [1.0, 2.0])
+    # nothing further staged: forced pop reports exhaustion
+    assert sp.pop(force=True) is None
+
+
+def test_stream_packer_numpy_fallback_parity(monkeypatch):
+    rng = np.random.default_rng(13)
+    dims = np.array([3, 3], np.int32)
+    ts, sid, pay = _stream_events(rng)
+
+    def run(sp):
+        outs = []
+        for chunk in np.array_split(np.arange(len(ts)), 5):
+            chunk = np.random.default_rng(int(chunk[0])).permutation(chunk)
+            sp.push(ts[chunk], sid[chunk], pay[chunk])
+            while (out := sp.pop()) is not None:
+                outs.append(out)
+        while (out := sp.pop(force=True)) is not None:
+            outs.append(out)
+        return outs
+
+    native = run(rt.StreamPacker(dims, 0, 10_000, 50, payload_stride=6))
+    monkeypatch.setattr(rt, "_load", lambda: None)
+    fallback = run(rt.StreamPacker(dims, 0, 10_000, 50, payload_stride=6))
+    assert len(native) == len(fallback) == 4
+    for (wn, vn, fn), (wf, vf, ff) in zip(native, fallback):
+        assert wn == wf
+        np.testing.assert_allclose(vn, vf)
+        np.testing.assert_array_equal(fn, ff)
+
+
+def test_stream_packer_latest_wins_within_cell():
+    dims = np.array([1], np.int32)
+    sp = rt.StreamPacker(dims, t0_us=0, dt_us=10_000, window_ticks=2)
+    # same (sensor, tick) cell, later timestamp delivered FIRST
+    sp.push([5_000, 2_000, 30_000], [0, 0, 0], [[10.0], [20.0], [0.0]])
+    w, v, f = sp.pop()
+    assert w == 0 and f[0, 0]
+    np.testing.assert_allclose(v[0, 0, 0], 10.0)  # ts=5000 wins
