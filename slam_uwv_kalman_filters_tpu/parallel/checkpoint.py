@@ -25,10 +25,25 @@ from flax import serialization
 __all__ = ["save", "restore", "save_sharded", "restore_sharded"]
 
 
-def save(path: str | os.PathLike, tree: Any) -> None:
-    """Serialize a pytree (filter state, params, or both) to one file."""
+def save(path: str | os.PathLike, tree: Any, *, backend: str = "msgpack") -> None:
+    """Serialize a pytree (filter state, params, or both).
+
+    ``backend="msgpack"`` (default) writes ONE file, atomically published —
+    dependency-free and host-portable. ``backend="orbax"`` writes an Orbax
+    StandardCheckpointer directory (TensorStore chunked storage — the pick
+    for very large banks or cloud-storage paths)."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        host_tree = jax.tree_util.tree_map(np.asarray, tree)
+        ckptr = ocp.StandardCheckpointer()  # async: returns before finalize
+        ckptr.save(path.resolve(), host_tree, force=True)
+        ckptr.wait_until_finished()  # atomic publish (tmp dir → path)
+        return
+    if backend != "msgpack":
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
     host_tree = jax.tree_util.tree_map(np.asarray, tree)
     tmp = path.with_suffix(path.suffix + ".tmp")
     tmp.write_bytes(serialization.to_bytes(host_tree))
@@ -37,8 +52,19 @@ def save(path: str | os.PathLike, tree: Any) -> None:
 
 def restore(path: str | os.PathLike, target: Any) -> Any:
     """Restore into the structure of ``target`` (a template pytree with the
-    right shapes/dtypes — e.g. a freshly-initialized filter state)."""
-    data = Path(path).read_bytes()
+    right shapes/dtypes — e.g. a freshly-initialized filter state). The
+    backend is auto-detected: an Orbax checkpoint is a directory, the
+    msgpack checkpoint a single file."""
+    path = Path(path)
+    if path.is_dir():
+        import orbax.checkpoint as ocp
+
+        host_target = jax.tree_util.tree_map(np.asarray, target)
+        restored = ocp.StandardCheckpointer().restore(path.resolve(), host_target)
+        # match the msgpack path's contract: plain host arrays in the
+        # target's pytree structure (callers device-put as needed)
+        return jax.tree_util.tree_map(np.asarray, restored)
+    data = path.read_bytes()
     return serialization.from_bytes(target, data)
 
 

@@ -133,6 +133,25 @@ def test_checkpoint_roundtrip():
     np.testing.assert_allclose(np.asarray(resumed.cov), np.asarray(bstate.cov[0]), atol=0)
 
 
+def test_checkpoint_orbax_backend_roundtrip():
+    """backend="orbax" writes a StandardCheckpointer directory; restore
+    auto-detects it (directory vs file) and returns host arrays in the
+    target's structure, exactly like the msgpack path."""
+    import tempfile
+
+    state, _ = pose_filter()
+    bstate = bank.replicate(state, 4)
+    bstate = bstate._replace(cov=bstate.cov + 1e-3)
+    with tempfile.TemporaryDirectory() as d:
+        checkpoint.save(f"{d}/bank_orbax", bstate, backend="orbax")
+        template = bank.replicate(state, 4)
+        restored = checkpoint.restore(f"{d}/bank_orbax", template)
+    np.testing.assert_allclose(np.asarray(restored.cov), np.asarray(bstate.cov), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(restored.mu.orientation), np.asarray(bstate.mu.orientation), atol=0
+    )
+
+
 def test_init_multihost_single_process():
     """Single-process path: idempotent, returns process index 0."""
     from slam_uwv_kalman_filters_tpu.parallel import sharding as shmod
