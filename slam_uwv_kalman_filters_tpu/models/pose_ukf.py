@@ -67,6 +67,12 @@ __all__ = [
     "update_body_efforts",
     "update_water_velocity",
     "update_visual_features",
+    "update_geographic_position_bank",
+    "update_delayed_position_bank",
+    "update_delayed_position_with_augmentation_bank",
+    "push_delayed_state_bank",
+    "update_delayed_position_buffered_bank",
+    "update_visual_features_bank",
     "reset_with_external_pose",
     "PoseUKF",
 ]
@@ -821,6 +827,182 @@ def update_body_efforts_bank(bstate, params, z, meas_cov, rotation_rate_body, *,
         ),
         use_fused=use_fused,
     )
+
+
+def update_geographic_position_bank(
+    bstate, params, lat, lon, meas_cov, gps_in_body=None, *, use_fused="auto"
+):
+    """Bank-level GPS fix (``PoseUKF.cpp:567-579``): project each instance's
+    (lat, lon) to the NWU plane, correct the antenna lever arm with that
+    instance's OWN mean orientation, then the χ²-95-gated XY update.
+
+    ``lat``/``lon`` are (B,) per-instance fixes (scalars broadcast — a fleet
+    sharing one surface fix); ``gps_in_body`` may be (3,) shared or (B, 3).
+    The per-instance lever arm is why this needs a dedicated entry instead of
+    host-side preprocessing + :func:`update_xy_position_bank`. The projection
+    and gated XY tail ride the fused TPU path; banked (Monte-Carlo sweep)
+    parameter sets are supported — ``world_to_nav`` broadcasts over banked
+    projection anchors and the XY model reads no parameters."""
+    dtype = bstate.cov.dtype
+    nb = bstate.cov.shape[0]
+    lat = jnp.broadcast_to(jnp.asarray(lat, dtype), (nb,))
+    lon = jnp.broadcast_to(jnp.asarray(lon, dtype), (nb,))
+    x, y = geo.world_to_nav(params.projection, lat, lon)
+    projected = jnp.stack(
+        [jnp.broadcast_to(x, (nb,)), jnp.broadcast_to(y, (nb,))], axis=-1
+    ).astype(dtype)
+    if gps_in_body is not None:
+        g = jnp.asarray(gps_in_body, dtype)
+        lever = jax.vmap(mf.quat_rotate, in_axes=(0, 0 if g.ndim == 2 else None))(
+            bstate.mu.orientation, g
+        )
+        projected = projected - lever[:, :2]
+    return update_xy_position_bank(
+        bstate, params, projected, meas_cov, gate_threshold=ukf.D2P95, use_fused=use_fused
+    )
+
+
+def update_delayed_position_bank(
+    bstate, params, z, meas_cov, delayed_position, *, use_fused="auto"
+):
+    """Bank-level active delayed-position path (``PoseUKF.cpp:514-527``):
+    shift each instance's measurement by its own (current − delayed) position,
+    then the standard XY update. ``delayed_position`` is (B, 2) per instance
+    or (2,) shared."""
+    dtype = bstate.cov.dtype
+    shifted = jnp.asarray(z, dtype) + (
+        bstate.mu.position[:, :2] - jnp.asarray(delayed_position, dtype)
+    )
+    return update_xy_position_bank(bstate, params, shifted, meas_cov, use_fused=use_fused)
+
+
+def update_delayed_position_with_augmentation_bank(
+    bstate, params, z, meas_cov, delayed_position, cov_delayed_position
+):
+    """Bank-level 55-DOF augmented delayed-position update
+    (``PoseUKF.cpp:529-557``): the fixed-shape augmentation of
+    :func:`update_delayed_position_with_augmentation`, vmapped over the bank.
+    Event rate for delayed fixes is ~0.1 Hz against the 100 Hz predict, so a
+    vmapped path is the right cost point (fuse only if profiling ever says
+    otherwise). All measurement operands broadcast from shared to (B, ...)."""
+    nb = bstate.cov.shape[0]
+    dtype = bstate.cov.dtype
+    z = jnp.broadcast_to(jnp.asarray(z, dtype), (nb, 2))
+    rr = jnp.broadcast_to(jnp.asarray(meas_cov, dtype), (nb, 2, 2))
+    dp = jnp.broadcast_to(jnp.asarray(delayed_position, dtype), (nb, 2))
+    dc = jnp.broadcast_to(jnp.asarray(cov_delayed_position, dtype), (nb, 2, 2))
+
+    def one(s_mu, s_cov, zz, r, d, c):
+        st = PoseUKFState(mu=s_mu, cov=s_cov, rotation_rate=jnp.zeros(3, dtype))
+        st2, info = update_delayed_position_with_augmentation(st, params, zz, r, d, c)
+        return st2.mu, st2.cov, info
+
+    mu, cov, info = jax.vmap(one)(bstate.mu, bstate.cov, z, rr, dp, dc)
+    return bstate._replace(mu=mu, cov=cov), info
+
+
+def push_delayed_state_bank(buffer, bstate: PoseUKFState, filter_ts_us) -> "delayed_states.DelayedStates":
+    """Bank-level :func:`push_delayed_state`: ``buffer`` carries a leading
+    bank axis on every leaf (build one with
+    ``parallel.bank.replicate(delayed_states.make_buffer(...), B)``)."""
+    s = POSE_MANIFOLD.block("position")
+    xy = bstate.mu.position[:, :2]
+    xy_cov = bstate.cov[:, s, s][:, :2, :2]
+    ts = jnp.broadcast_to(jnp.asarray(filter_ts_us), (xy.shape[0],))
+    return jax.vmap(delayed_states.push)(buffer, ts, xy, xy_cov)
+
+
+def update_delayed_position_buffered_bank(
+    bstate: PoseUKFState,
+    params: PoseUKFParams,
+    buffer: "delayed_states.DelayedStates",
+    filter_ts_us,
+    z,
+    meas_cov,
+    delay_seconds,
+    *,
+    use_fused="auto",
+):
+    """Bank-level out-of-sequence XY fix through per-instance delayed-state
+    ring buffers (``PoseUKF.cpp:656-683``): per-instance closest-state lookup,
+    shift-identity anchor, χ²-95 gate. ``delay_seconds`` may be scalar or
+    (B,) (sensors with per-vehicle latency). Returns (state, info, found);
+    instances whose delay exceeds their buffer horizon are left untouched
+    with neutralized info, exactly like the solo path."""
+    from ..parallel.bank import select_where
+
+    nb = bstate.cov.shape[0]
+    dtype = bstate.cov.dtype
+    ts = jnp.broadcast_to(jnp.asarray(filter_ts_us), (nb,)) - jnp.broadcast_to(
+        delayed_states.from_seconds(delay_seconds), (nb,)
+    )
+    delayed_xy, _, found = jax.vmap(delayed_states.closest)(buffer, ts)
+    shifted = jnp.asarray(z, dtype) + (bstate.mu.position[:, :2] - delayed_xy)
+    new_state, info = update_xy_position_bank(
+        bstate, params, shifted, meas_cov, gate_threshold=ukf.D2P95, use_fused=use_fused
+    )
+    keep = info.accepted & found
+    out = select_where(keep, new_state, bstate)._replace(rotation_rate=bstate.rotation_rate)
+    info = ukf.UpdateInfo(
+        mahalanobis2=jnp.where(found, info.mahalanobis2, 0.0),
+        accepted=keep,
+        innovation=jnp.where(found[:, None], info.innovation, jnp.zeros_like(info.innovation)),
+    )
+    return out, info, found
+
+
+def update_visual_features_bank(
+    bstate: PoseUKFState,
+    params: PoseUKFParams,
+    marker_features: jax.Array,  # (B,K,2) or (K,2) pixels
+    feature_covs: jax.Array,  # (B,K,2,2) or (K,2,2)
+    feature_positions: jax.Array,  # (K,3) marker geometry (mission constant)
+    marker_position: jax.Array,  # (B,3) or (3,)
+    marker_orientation: jax.Array,  # (B,4) or (4,)
+    cov_marker_pose: jax.Array,  # (6,6)
+    camera: CameraConfiguration,
+    camera_in_imu_position: jax.Array,
+    camera_in_imu_orientation: jax.Array,
+) -> tuple[PoseUKFState, ukf.UpdateInfo]:
+    """Bank-level visual-marker update (``PoseUKF.cpp:613-654``): the 59-DOF
+    fixed-shape augmentation + per-corner S² updates + marginalization of
+    :func:`update_visual_features`, vmapped over the bank so a Monte-Carlo
+    fleet can run a marker-aided mission.
+
+    Per-instance operands: ``marker_features``/``feature_covs`` may carry a
+    leading bank axis (each vehicle's own corner detections) or be shared;
+    likewise the marker-pose prior mean. Marker geometry, marker-pose
+    covariance and camera intrinsics/extrinsics are mission constants. The
+    model reads no ``PoseUKFParams`` fields, so banked (Monte-Carlo sweep)
+    parameter sets work unchanged. vmapped, not kernel-fused: marker events
+    are ~1 Hz against the 100 Hz predict, so the launch-amortization argument
+    for fusing does not apply (IndirectPoseUKF's fused marker kernel is the
+    template if a profile ever disagrees)."""
+    dtype = bstate.cov.dtype
+    nb = bstate.cov.shape[0]
+    feats = jnp.asarray(marker_features, dtype)
+    if feats.ndim == 2:
+        feats = jnp.broadcast_to(feats[None], (nb, *feats.shape))
+    covs = jnp.asarray(feature_covs, dtype)
+    if covs.ndim == 3:
+        covs = jnp.broadcast_to(covs[None], (nb, *covs.shape))
+    mpos = jnp.broadcast_to(jnp.asarray(marker_position, dtype), (nb, 3))
+    mrot = jnp.asarray(marker_orientation, dtype)
+    mrot = jnp.broadcast_to(mrot, (nb, 4)) if mrot.ndim == 1 else mrot
+    fpos = jnp.asarray(feature_positions, dtype)
+    cmp_ = jnp.asarray(cov_marker_pose, dtype)
+    cam_p = jnp.asarray(camera_in_imu_position, dtype)
+    cam_q = jnp.asarray(camera_in_imu_orientation, dtype)
+
+    def one(s_mu, s_cov, f, c, mp, mr):
+        st = PoseUKFState(mu=s_mu, cov=s_cov, rotation_rate=jnp.zeros(3, dtype))
+        st2, info = update_visual_features(
+            st, params, f, c, fpos, mp, mr, cmp_, camera, cam_p, cam_q
+        )
+        return st2.mu, st2.cov, info
+
+    mu, cov, info = jax.vmap(one)(bstate.mu, bstate.cov, feats, covs, mpos, mrot)
+    return bstate._replace(mu=mu, cov=cov), info
 
 
 def get_rotation_rate(state: PoseUKFState, params: PoseUKFParams) -> jax.Array:
