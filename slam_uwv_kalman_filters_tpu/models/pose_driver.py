@@ -21,6 +21,8 @@ from . import pose_ukf as pukf
 
 __all__ = [
     "PoseInputs",
+    "MarkerSetup",
+    "PoseStepConstants",
     "make_inputs",
     "pose_step",
     "run_trajectory",
@@ -28,6 +30,30 @@ __all__ = [
     "run_trajectory_bank",
     "TickOutput",
 ]
+
+
+class MarkerSetup(NamedTuple):
+    """Mission constants for the visual-marker stream (the marker geometry,
+    pose prior and camera calibration of ``integrateMeasurement(
+    VisualFeatureMeasurement, ...)``, ``src/PoseUKF.hpp:168-174``) — fixed for
+    a replay, so they ride the scan closure instead of the per-tick inputs."""
+
+    feature_positions: jax.Array  # (K,3) corner geometry in the marker frame
+    marker_position: jax.Array  # (3,) prior mean, nav frame
+    marker_orientation: jax.Array  # (4,) prior mean quaternion
+    cov_marker_pose: jax.Array  # (6,6) prior covariance
+    camera: object  # CameraConfiguration (static floats)
+    camera_in_imu_position: jax.Array  # (3,)
+    camera_in_imu_orientation: jax.Array  # (4,)
+
+
+class PoseStepConstants(NamedTuple):
+    """Per-mission constants consumed by :func:`pose_step` /
+    :func:`pose_step_bank` — sensor mounting and marker setup that the
+    reference passes per call but never varies within a mission."""
+
+    gps_in_body: Optional[jax.Array] = None  # (3,) antenna lever arm
+    marker: Optional[MarkerSetup] = None
 
 
 class PoseInputs(NamedTuple):
@@ -56,6 +82,22 @@ class PoseInputs(NamedTuple):
     efforts: jax.Array  # (6,)
     efforts_cov: jax.Array  # (6,6)
     efforts_valid: jax.Array  # () bool
+    # Optional streams (None when the mission has no such sensor — None leaves
+    # are empty pytree nodes, so scan/vmap treat a lean schedule and a full
+    # ICRA'18 schedule uniformly; presence is static per compilation):
+    z: Optional[jax.Array] = None  # (1,) depth
+    z_cov: Optional[jax.Array] = None  # (1,1)
+    z_valid: Optional[jax.Array] = None  # () bool
+    gps: Optional[jax.Array] = None  # (2,) lat, lon in radians
+    gps_cov: Optional[jax.Array] = None  # (2,2) planar covariance
+    gps_valid: Optional[jax.Array] = None  # () bool
+    delayed_xy: Optional[jax.Array] = None  # (2,) delayed XY fix
+    delayed_xy_cov: Optional[jax.Array] = None  # (2,2)
+    delayed_position: Optional[jax.Array] = None  # (2,) state at capture time
+    delayed_valid: Optional[jax.Array] = None  # () bool
+    marker_features: Optional[jax.Array] = None  # (K,2) detected pixels
+    marker_feature_covs: Optional[jax.Array] = None  # (K,2,2)
+    marker_valid: Optional[jax.Array] = None  # () bool
 
 
 def make_inputs(
@@ -82,9 +124,34 @@ def make_inputs(
     efforts=None,
     efforts_cov=None,
     efforts_valid=None,
+    z=None,
+    z_cov=None,
+    z_valid=None,
+    gps=None,
+    gps_cov=None,
+    gps_valid=None,
+    delayed_xy=None,
+    delayed_xy_cov=None,
+    delayed_position=None,
+    delayed_valid=None,
+    marker_features=None,
+    marker_feature_covs=None,
+    marker_valid=None,
     dtype=jnp.float64,
 ) -> PoseInputs:
-    """Assemble a dense (n,)-tick schedule; omitted sensors are all-invalid."""
+    """Assemble a dense (n,)-tick schedule; omitted sensors are all-invalid.
+
+    The always-on streams get dense dummy slots when omitted (the masked
+    update is cheap); the event-rate streams (``z``/``gps``/``delayed_*``/
+    ``marker_*``) stay ``None`` when absent so their — much heavier —
+    update phases are not even traced."""
+    if marker_features is not None:
+        marker_features = jnp.asarray(marker_features, dtype)
+        if marker_features.ndim not in (2, 3):
+            raise ValueError(
+                f"marker_features has shape {marker_features.shape}; expected "
+                "(K,2) (constant detections) or (n,K,2) (per tick)"
+            )
 
     def fill(x, shape, default=0.0):
         if x is None:
@@ -133,7 +200,54 @@ def make_inputs(
         efforts=fill(efforts, (6,)),
         efforts_cov=fill_cov(efforts_cov, 6),
         efforts_valid=flag(efforts_valid, efforts is not None),
+        z=None if z is None else fill(z, (1,)),
+        z_cov=None if z is None else fill_cov(z_cov, 1),
+        z_valid=None if z is None else flag(z_valid, True),
+        gps=None if gps is None else fill(gps, (2,)),
+        gps_cov=None if gps is None else fill_cov(gps_cov, 2),
+        gps_valid=None if gps is None else flag(gps_valid, True),
+        delayed_xy=None if delayed_xy is None else fill(delayed_xy, (2,)),
+        delayed_xy_cov=None if delayed_xy is None else fill_cov(delayed_xy_cov, 2),
+        delayed_position=(
+            None
+            if delayed_xy is None
+            else fill(_required(delayed_position, "delayed_position"), (2,))
+        ),
+        delayed_valid=None if delayed_xy is None else flag(delayed_valid, True),
+        marker_features=(
+            None if marker_features is None else fill(marker_features, marker_features.shape[-2:])
+        ),
+        marker_feature_covs=(
+            None
+            if marker_features is None
+            else _fill_corner_covs(
+                _required(marker_feature_covs, "marker_feature_covs"),
+                n,
+                marker_features.shape[-2],
+                dtype,
+            )
+        ),
+        marker_valid=None if marker_features is None else flag(marker_valid, True),
     )
+
+
+def _required(x, name):
+    if x is None:
+        raise ValueError(f"{name} is required when its sensor stream is provided")
+    return x
+
+
+def _fill_corner_covs(x, n, k, dtype):
+    """(K,2,2) constant per-corner covariances → (n,K,2,2), or pass through a
+    full per-tick stream."""
+    x = jnp.asarray(x, dtype)
+    if x.shape == (k, 2, 2):
+        return jnp.broadcast_to(x[None], (n, k, 2, 2))
+    if x.shape != (n, k, 2, 2):
+        raise ValueError(
+            f"marker_feature_covs has shape {x.shape}; expected {(k, 2, 2)} or {(n, k, 2, 2)}"
+        )
+    return x
 
 
 class TickOutput(NamedTuple):
@@ -146,6 +260,10 @@ class TickOutput(NamedTuple):
     # update; both neutral (0 / False) on ticks without that measurement
     dvl_nis: jax.Array
     adcp_accepted: jax.Array
+    # gate outcomes of the optional event-rate streams; None when the mission
+    # schedule carries no such stream (mirrors PoseInputs)
+    gps_accepted: Optional[jax.Array] = None  # () bool
+    marker_nis: Optional[jax.Array] = None  # (K,) per-corner NIS
 
 
 def _masked_update(state, valid, update_fn, *args):
@@ -159,11 +277,17 @@ def _masked_update(state, valid, update_fn, *args):
 
 
 def pose_step(
-    state: pukf.PoseUKFState, params: pukf.PoseUKFParams, inp: PoseInputs
+    state: pukf.PoseUKFState,
+    params: pukf.PoseUKFParams,
+    inp: PoseInputs,
+    consts: Optional[PoseStepConstants] = None,
 ) -> tuple[pukf.PoseUKFState, TickOutput]:
     """One tick: cache gyro input → predict → masked sensor updates, in the
     reference's integration order (prediction first, then synchronous
-    updates — SURVEY.md §3.6)."""
+    updates — SURVEY.md §3.6). With every optional stream populated this
+    covers the reference's full ``integrateMeasurement`` surface
+    (``src/PoseUKF.hpp:137-177``): rotation rate, acceleration, DVL, pressure,
+    depth, XY, GPS, delayed XY, ADCP, efforts, visual markers."""
     state = pukf.integrate_rotation_rate(state, inp.rotation_rate)
     state = pukf.predict(state, params, inp.dt)
 
@@ -205,6 +329,62 @@ def pose_step(
         inp.efforts_cov,
     )
 
+    if inp.z is not None:
+        state, _ = _masked_update(
+            state, inp.z_valid, pukf.update_z_position, state, params, inp.z, inp.z_cov
+        )
+    gps_accepted = None
+    if inp.gps is not None:
+        gps_in_body = consts.gps_in_body if consts is not None else None
+        state, gps_info = _masked_update(
+            state,
+            inp.gps_valid,
+            pukf.update_geographic_position,
+            state,
+            params,
+            inp.gps[0],
+            inp.gps[1],
+            inp.gps_cov,
+            gps_in_body,
+        )
+        gps_accepted = inp.gps_valid & gps_info.accepted
+    if inp.delayed_xy is not None:
+        state, _ = _masked_update(
+            state,
+            inp.delayed_valid,
+            pukf.update_delayed_position,
+            state,
+            params,
+            inp.delayed_xy,
+            inp.delayed_xy_cov,
+            inp.delayed_position,
+        )
+    marker_nis = None
+    if inp.marker_features is not None:
+        if consts is None or consts.marker is None:
+            raise ValueError(
+                "schedule carries marker detections; pass "
+                "PoseStepConstants(marker=MarkerSetup(...))"
+            )
+        ms = consts.marker
+        state, m_info = _masked_update(
+            state,
+            inp.marker_valid,
+            pukf.update_visual_features,
+            state,
+            params,
+            inp.marker_features,
+            inp.marker_feature_covs,
+            ms.feature_positions,
+            ms.marker_position,
+            ms.marker_orientation,
+            ms.cov_marker_pose,
+            ms.camera,
+            ms.camera_in_imu_position,
+            ms.camera_in_imu_orientation,
+        )
+        marker_nis = jnp.where(inp.marker_valid, m_info.mahalanobis2, 0.0)
+
     out = TickOutput(
         position=state.mu.position,
         orientation=state.mu.orientation,
@@ -212,21 +392,29 @@ def pose_step(
         cov_trace=jnp.trace(state.cov),
         dvl_nis=jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0),
         adcp_accepted=inp.adcp_valid & adcp_info.accepted,
+        gps_accepted=gps_accepted,
+        marker_nis=marker_nis,
     )
     return state, out
 
 
 def run_trajectory(
-    state: pukf.PoseUKFState, params: pukf.PoseUKFParams, inputs: PoseInputs
+    state: pukf.PoseUKFState,
+    params: pukf.PoseUKFParams,
+    inputs: PoseInputs,
+    consts: Optional[PoseStepConstants] = None,
 ) -> tuple[pukf.PoseUKFState, TickOutput]:
     """lax.scan over the packed schedule — one compilation for the whole
     replay; vmap this over a bank of initial states / parameter sets for
     fleet-scale reprocessing."""
-    return jax.lax.scan(lambda s, i: pose_step(s, params, i), state, inputs)
+    return jax.lax.scan(lambda s, i: pose_step(s, params, i, consts), state, inputs)
 
 
 def pose_step_bank(
-    bstate: pukf.PoseUKFState, params: pukf.PoseUKFParams, inp: PoseInputs
+    bstate: pukf.PoseUKFState,
+    params: pukf.PoseUKFParams,
+    inp: PoseInputs,
+    consts: Optional[PoseStepConstants] = None,
 ) -> tuple[pukf.PoseUKFState, TickOutput]:
     """Bank-level tick: same integration order as :func:`pose_step`, but each
     phase is one fused Pallas launch over the whole bank on the TPU f32 path
@@ -267,20 +455,81 @@ def pose_step_bank(
         inp.adcp_cov,
         inp.adcp_cell_weighting,
     )
-    # body efforts need the per-instance compensated body rate -- generic
-    # path; with a banked (Monte-Carlo sweep) parameter set the params must
-    # be vmapped alongside the state, not closed over as (B,...)-constants
-    def _efforts_one(s, p, z, r):
-        s2, _ = pukf.update_body_efforts(s, p, z, r)
-        return s2
-
+    # body efforts need each instance's compensated body rate: shared params
+    # ride the banked entry (fused tail on TPU — the per-instance rates go
+    # through the measurement stage's aux lanes); a banked (Monte-Carlo
+    # sweep) parameter set must be vmapped alongside the state instead of
+    # closed over as (B,...)-constants
     if banked:
+
+        def _efforts_one(s, p, z, r):
+            s2, _ = pukf.update_body_efforts(s, p, z, r)
+            return s2
+
         eff_state = jax.vmap(_efforts_one)(bstate, params, inp.efforts, inp.efforts_cov)
     else:
-        eff_state = jax.vmap(lambda s, z, r: _efforts_one(s, params, z, r))(
-            bstate, inp.efforts, inp.efforts_cov
+        rr_bank = pukf.get_rotation_rate_bank(bstate, params)
+        eff_state, _ = pukf.update_body_efforts_bank(
+            bstate, params, inp.efforts, inp.efforts_cov, rr_bank
         )
     bstate = select_where(inp.efforts_valid, eff_state, bstate)
+
+    if inp.z is not None:
+        bstate, _ = _masked_update(
+            bstate, inp.z_valid, pukf.update_z_position_bank, bstate, params, inp.z, inp.z_cov
+        )
+    gps_accepted = None
+    if inp.gps is not None:
+        gps_in_body = consts.gps_in_body if consts is not None else None
+        bstate, gps_info = _masked_update(
+            bstate,
+            inp.gps_valid,
+            pukf.update_geographic_position_bank,
+            bstate,
+            params,
+            inp.gps[:, 0],
+            inp.gps[:, 1],
+            inp.gps_cov,
+            gps_in_body,
+        )
+        gps_accepted = inp.gps_valid & gps_info.accepted
+    if inp.delayed_xy is not None:
+        bstate, _ = _masked_update(
+            bstate,
+            inp.delayed_valid,
+            pukf.update_delayed_position_bank,
+            bstate,
+            params,
+            inp.delayed_xy,
+            inp.delayed_xy_cov,
+            inp.delayed_position,
+        )
+    marker_nis = None
+    if inp.marker_features is not None:
+        if consts is None or consts.marker is None:
+            raise ValueError(
+                "schedule carries marker detections; pass "
+                "PoseStepConstants(marker=MarkerSetup(...))"
+            )
+        ms = consts.marker
+        bstate, m_info = _masked_update(
+            bstate,
+            inp.marker_valid,
+            pukf.update_visual_features_bank,
+            bstate,
+            params,
+            inp.marker_features,
+            inp.marker_feature_covs,
+            ms.feature_positions,
+            ms.marker_position,
+            ms.marker_orientation,
+            ms.cov_marker_pose,
+            ms.camera,
+            ms.camera_in_imu_position,
+            ms.camera_in_imu_orientation,
+        )
+        marker_nis = jnp.where(inp.marker_valid[:, None], m_info.mahalanobis2, 0.0)
+
     out = TickOutput(
         position=bstate.mu.position,
         orientation=bstate.mu.orientation,
@@ -288,16 +537,21 @@ def pose_step_bank(
         cov_trace=jnp.trace(bstate.cov, axis1=-2, axis2=-1),
         dvl_nis=jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0),
         adcp_accepted=inp.adcp_valid & adcp_info.accepted,
+        gps_accepted=gps_accepted,
+        marker_nis=marker_nis,
     )
     return bstate, out
 
 
 def run_trajectory_bank(
-    bstate: pukf.PoseUKFState, params: pukf.PoseUKFParams, inputs: PoseInputs
+    bstate: pukf.PoseUKFState,
+    params: pukf.PoseUKFParams,
+    inputs: PoseInputs,
+    consts: Optional[PoseStepConstants] = None,
 ) -> tuple[pukf.PoseUKFState, TickOutput]:
     """Fleet-scale replay: ``lax.scan`` over ticks of :func:`pose_step_bank`
     — inputs have shape (T, bank, ...); one compilation, fused kernels every
     tick. Note: unlike ``vmap(run_trajectory)``, the prediction interval is
     shared across the bank at each tick (the per-vehicle sensor values,
     validity, covariances and ADCP cell weightings still vary)."""
-    return jax.lax.scan(lambda s, i: pose_step_bank(s, params, i), bstate, inputs)
+    return jax.lax.scan(lambda s, i: pose_step_bank(s, params, i, consts), bstate, inputs)

@@ -51,6 +51,7 @@ __all__ = [
     "init_from_state",
     "predict",
     "get_rotation_rate",
+    "get_rotation_rate_bank",
     "update_velocity",
     "update_acceleration",
     "integrate_rotation_rate",
@@ -805,27 +806,54 @@ def update_water_velocity_bank(bstate, params, z, meas_cov, cell_weighting, *, u
     )
 
 
+_EFFORTS_DEPS = (
+    "orientation",
+    "velocity",
+    "acceleration",
+    "inertia",
+    "lin_damping",
+    "quad_damping",
+    "water_velocity",
+)
+
+
 def update_body_efforts_bank(bstate, params, z, meas_cov, rotation_rate_body, *, use_fused="auto"):
     """Bank-level model-aided effort update (``PoseUKF.cpp:153-196,581-602``,
     full mode). ``rotation_rate_body`` is the bias/earth-rate-compensated body
-    rate, shared across the bank (pass ``get_rotation_rate`` of the ensemble
-    mean, or use the generic per-instance path for exact per-instance rates)."""
+    rate — (3,) shared across the bank, or (B, 3) per instance (each
+    instance's own :func:`get_rotation_rate`, the exact reference semantics;
+    rides the fused tail via the measurement stage's per-instance aux)."""
+    rr = jnp.asarray(rotation_rate_body, bstate.cov.dtype)
+    if rr.ndim == 2:  # per-instance compensated body rates
+        fused, use_fused, interpret = _fused_model_route(use_fused, bstate, params)
+        if fused:
+            from . import pose_update_fused
+
+            return pose_update_fused.update_fused_banked(
+                bstate, params, z, meas_cov,
+                lambda chi, rr_one: _efforts_measurement(chi, params, rr_one),
+                _EFFORTS_DEPS, h_aux=rr, interpret=interpret,
+            )
+        nb = bstate.cov.shape[0]
+        z = jnp.asarray(z, bstate.cov.dtype)
+        rcov = jnp.broadcast_to(
+            jnp.asarray(meas_cov, bstate.cov.dtype), (nb, z.shape[-1], z.shape[-1])
+        )
+
+        def one(s_mu, s_cov, zz, rc, rr_one):
+            return ukf.update(
+                POSE_MANIFOLD, s_mu, s_cov, zz,
+                lambda chi: _efforts_measurement(chi, params, rr_one), rc,
+            )
+
+        mu, cov, info = jax.vmap(one)(bstate.mu, bstate.cov, z, rcov, rr)
+        return bstate._replace(mu=mu, cov=cov), info
 
     def h(s: PoseState):
         return _efforts_measurement(s, params, rotation_rate_body)
 
     return update_bank(
-        bstate, params, z, meas_cov, h,
-        (
-            "orientation",
-            "velocity",
-            "acceleration",
-            "inertia",
-            "lin_damping",
-            "quad_damping",
-            "water_velocity",
-        ),
-        use_fused=use_fused,
+        bstate, params, z, meas_cov, h, _EFFORTS_DEPS, use_fused=use_fused,
     )
 
 
@@ -1014,6 +1042,20 @@ def get_rotation_rate(state: PoseUKFState, params: PoseUKFParams) -> jax.Array:
         state.rotation_rate
         - state.mu.bias_gyro
         - mf.quat_rotate_inv(state.mu.orientation, earth_rot)
+    )
+
+
+def get_rotation_rate_bank(bstate: PoseUKFState, params: PoseUKFParams) -> jax.Array:
+    """(B, 3) per-instance :func:`get_rotation_rate` — vectorized, no vmap,
+    so it stays free at fleet scale (feeds the fused efforts-bank update)."""
+    lat, _ = geo.nav_to_world(
+        params.projection, bstate.mu.position[:, 0], bstate.mu.position[:, 1]
+    )
+    earth_rot = jax.vmap(geo.earth_rotation_nav)(lat).astype(bstate.mu.position.dtype)
+    return (
+        bstate.rotation_rate
+        - bstate.mu.bias_gyro
+        - jax.vmap(mf.quat_rotate_inv)(bstate.mu.orientation, earth_rot)
     )
 
 

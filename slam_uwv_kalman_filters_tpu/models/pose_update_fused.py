@@ -850,10 +850,13 @@ def update_velocity_lanes(lstate, params, z, meas_cov, gate_threshold=None, *, i
     return update_model_lanes("velocity", lstate, z, meas_cov, gate_threshold, interpret=interpret)
 
 
-def _measurement_stage(deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h):
+def _measurement_stage(deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h, h_aux=None):
     """Shared XLA stage of both fused update entry points: evaluate ``h`` on
     the dependent tangent rows, form (dZ, innovation) and pad lane filler
-    (S=R, C=0, ν=0 for pad instances — neutral under the gate)."""
+    (S=R, C=0, ν=0 for pad instances — neutral under the gate). With
+    ``h_aux`` (a (B, ...) array vmapped alongside the bank), ``h`` is called
+    as ``h(chi, aux_one)`` — per-instance NON-state model inputs (e.g. each
+    instance's own compensated body rate for the efforts model)."""
     from ..ops import manifolds as mf
 
     m = z.shape[-1]
@@ -862,7 +865,7 @@ def _measurement_stage(deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h):
     d_small = jnp.concatenate([deltas_t[:, lo:hi, :] for (lo, hi), _ in rows], axis=1)
     d_small = jnp.transpose(d_small, (2, 0, 1))[:nb]  # (B, 107, k)
 
-    def h_of(delta_k, mu_one):
+    def h_of(delta_k, mu_one, aux_one):
         updates, off = {}, 0
         for (lo, hi), name in rows:
             k = hi - lo
@@ -875,11 +878,19 @@ def _measurement_stage(deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h):
                 updates[name] = val + dpart.reshape(3, 3).T
             else:
                 updates[name] = val + dpart
-        return h(mu_one._replace(**updates))
+        chi = mu_one._replace(**updates)
+        return h(chi) if aux_one is None else h(chi, aux_one)
 
     # pin h's output to the kernel dtype (same policy as ops.ukf.update):
     # h may read float64 params, and f64 refs cannot lower into the f32 kernel
-    Z = jax.vmap(lambda dk, mo: jax.vmap(lambda d1: h_of(d1, mo))(dk))(d_small, mu_bank)
+    if h_aux is None:
+        Z = jax.vmap(lambda dk, mo: jax.vmap(lambda d1: h_of(d1, mo, None))(dk))(
+            d_small, mu_bank
+        )
+    else:
+        Z = jax.vmap(
+            lambda dk, mo, ax: jax.vmap(lambda d1: h_of(d1, mo, ax))(dk)
+        )(d_small, mu_bank, h_aux)
     Z = Z.astype(dtype)
     z_mean = jnp.mean(Z, axis=1)  # (B, m)
     dZ = Z - z_mean[:, None, :]
@@ -912,13 +923,15 @@ def update_fused_banked(
     deps: Sequence[str],  # PoseState fields h reads (others fed the mean)
     gate_threshold: float | None = None,
     *,
+    h_aux: jax.Array | None = None,  # (B, ...) per-instance non-state input
     interpret: bool = False,
 ) -> tuple["PoseUKFState", ukf.UpdateInfo]:
     """Fused-kernel unscented update over a bank (shared params, f32 TPU
     path). ``h`` runs in XLA on sigma points whose non-``deps`` fields are
     pinned to the mean (valid because ``deps`` lists every field ``h``
     reads), so only a ``(B, 107, Σdep-dims)`` tensor leaves the kernel
-    pipeline."""
+    pipeline. ``h_aux`` vmaps a per-instance non-state model input alongside
+    the bank (``h`` is then called as ``h(chi, aux)``)."""
     dtype = bstate.cov.dtype
     nb = bstate.cov.shape[0]
     z = jnp.asarray(z, dtype)
@@ -931,7 +944,7 @@ def update_fused_banked(
     cov_t = jnp.transpose(cov, (2, 1, 0))
     deltas_t = _sigma_deltas_lanes(cov_t, interpret=interpret)  # (107, 53, nb)
     dZ, innovation, innovation_p, meas_cov_p = _measurement_stage(
-        deltas_t, bstate.mu, z, meas_cov, deps, nb, pad, dtype, h
+        deltas_t, bstate.mu, z, meas_cov, deps, nb, pad, dtype, h, h_aux
     )
 
     dz_t = jnp.transpose(dZ, (1, 2, 0))  # (107, m, nb)
@@ -959,6 +972,7 @@ def update_lanes(
     deps: Sequence[str],
     gate_threshold: float | None = None,
     *,
+    h_aux: jax.Array | None = None,
     interpret: bool = False,
 ):
     """Measurement update directly on kernel-layout state
@@ -976,7 +990,7 @@ def update_lanes(
     deltas_t = _sigma_deltas_lanes(lstate.cov_t, interpret=interpret)  # (107, 53, nb_pad)
     mu_bank = _unpack_storage(lstate.mu_t.T[:nb], _pose_state_like(dtype))
     dZ, innovation, innovation_p, meas_cov_p = _measurement_stage(
-        deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h
+        deltas_t, mu_bank, z, meas_cov, deps, nb, pad, dtype, h, h_aux
     )
 
     thr = jnp.full((1, 1), -1.0 if gate_threshold is None else gate_threshold, dtype)

@@ -234,3 +234,43 @@ def test_visual_features_bank_shared_detections_broadcast():
     np.testing.assert_array_equal(
         np.asarray(info.mahalanobis2[0]), np.asarray(info.mahalanobis2[1])
     )
+
+
+def test_body_efforts_bank_per_instance_rates_matches_solo():
+    """(B,3) per-instance compensated body rates == vmapped solo efforts
+    update (the exact ``PoseUKF.cpp:581-602`` semantics at bank scale), on
+    both the generic route and the fused tail in interpret mode."""
+    bstate, params = _make_bank()
+    # heterogeneous cached gyro rates so per-instance compensation differs
+    bstate = bstate._replace(
+        rotation_rate=jnp.asarray(RNG.normal(scale=0.05, size=(NB, 3)))
+    )
+    z = jnp.asarray(RNG.normal(scale=2.0, size=(NB, 6)))
+    r = jnp.eye(6, dtype=jnp.float64) * 0.1
+    rr_bank = pukf.get_rotation_rate_bank(bstate, params)
+    for i in range(NB):
+        np.testing.assert_allclose(
+            np.asarray(rr_bank[i]),
+            np.asarray(pukf.get_rotation_rate(_instance(bstate, i), params)),
+            atol=1e-14,
+        )
+
+    out, _ = pukf.update_body_efforts_bank(bstate, params, z, r, rr_bank)
+    for i in range(NB):
+        solo, _ = pukf.update_body_efforts(_instance(bstate, i), params, z[i], r)
+        _assert_state_matches(out, solo, i)
+
+    # fused tail (interpret mode off-TPU) with per-instance aux rates
+    f32 = jax.tree_util.tree_map(lambda a: a.astype(jnp.float32), bstate)
+    gen, _ = pukf.update_body_efforts_bank(
+        f32, params, z.astype(jnp.float32), r.astype(jnp.float32),
+        rr_bank.astype(jnp.float32), use_fused=False,
+    )
+    fus, _ = pukf.update_body_efforts_bank(
+        f32, params, z.astype(jnp.float32), r.astype(jnp.float32),
+        rr_bank.astype(jnp.float32), use_fused="interpret",
+    )
+    np.testing.assert_allclose(np.asarray(fus.cov), np.asarray(gen.cov), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(fus.mu.velocity), np.asarray(gen.mu.velocity), atol=2e-4
+    )
