@@ -11,6 +11,7 @@ entire replay and the same code path vmaps over trajectory banks.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -415,20 +416,40 @@ def pose_step_bank(
     params: pukf.PoseUKFParams,
     inp: PoseInputs,
     consts: Optional[PoseStepConstants] = None,
+    *,
+    use_fused: str | bool = "auto",
 ) -> tuple[pukf.PoseUKFState, TickOutput]:
     """Bank-level tick: same integration order as :func:`pose_step`, but each
     phase is one fused Pallas launch over the whole bank on the TPU f32 path
     (``pukf.predict_bank`` / ``pukf.update_*_bank``). ``inp`` carries a
-    leading bank axis on every leaf (per-vehicle sensor streams)."""
+    leading bank axis on every leaf (per-vehicle sensor streams).
+
+    ``use_fused`` forwards to every fused-capable bank entry ("auto" = fused
+    kernels on TPU f32; "interpret" runs the exact production kernels through
+    the Pallas interpreter — how CI asserts kernel-path missions off-TPU; the
+    event-rate streams GPS/delayed/markers are vmapped generic either way)."""
     banked = params.process_noise.ndim == 3  # per-instance (Monte-Carlo) params
+    fu = dict(use_fused=use_fused)
     bstate = bstate._replace(rotation_rate=inp.rotation_rate)
-    bstate = pukf.predict_bank(bstate, params, inp.dt[0])
+    bstate = pukf.predict_bank(bstate, params, inp.dt[0], **fu)
 
     bstate, _ = _masked_update(
-        bstate, inp.acc_valid, pukf.update_acceleration_bank, bstate, params, inp.acc, inp.acc_cov
+        bstate,
+        inp.acc_valid,
+        partial(pukf.update_acceleration_bank, **fu),
+        bstate,
+        params,
+        inp.acc,
+        inp.acc_cov,
     )
     bstate, dvl_info = _masked_update(
-        bstate, inp.dvl_valid, pukf.update_velocity_bank, bstate, params, inp.dvl, inp.dvl_cov
+        bstate,
+        inp.dvl_valid,
+        partial(pukf.update_velocity_bank, **fu),
+        bstate,
+        params,
+        inp.dvl,
+        inp.dvl_cov,
     )
     # the pressure model reads params.atmospheric_pressure; the bank entry
     # handles banked values itself (fused banked-aux lanes on TPU, a
@@ -436,19 +457,25 @@ def pose_step_bank(
     bstate, _ = _masked_update(
         bstate,
         inp.pressure_valid,
-        pukf.update_pressure_bank,
+        partial(pukf.update_pressure_bank, **fu),
         bstate,
         params,
         inp.pressure,
         inp.pressure_cov,
     )
     bstate, _ = _masked_update(
-        bstate, inp.xy_valid, pukf.update_xy_position_bank, bstate, params, inp.xy, inp.xy_cov
+        bstate,
+        inp.xy_valid,
+        partial(pukf.update_xy_position_bank, **fu),
+        bstate,
+        params,
+        inp.xy,
+        inp.xy_cov,
     )
     bstate, adcp_info = _masked_update(
         bstate,
         inp.adcp_valid,
-        pukf.update_water_velocity_bank,
+        partial(pukf.update_water_velocity_bank, **fu),
         bstate,
         params,
         inp.adcp,
@@ -470,13 +497,19 @@ def pose_step_bank(
     else:
         rr_bank = pukf.get_rotation_rate_bank(bstate, params)
         eff_state, _ = pukf.update_body_efforts_bank(
-            bstate, params, inp.efforts, inp.efforts_cov, rr_bank
+            bstate, params, inp.efforts, inp.efforts_cov, rr_bank, **fu
         )
     bstate = select_where(inp.efforts_valid, eff_state, bstate)
 
     if inp.z is not None:
         bstate, _ = _masked_update(
-            bstate, inp.z_valid, pukf.update_z_position_bank, bstate, params, inp.z, inp.z_cov
+            bstate,
+            inp.z_valid,
+            partial(pukf.update_z_position_bank, **fu),
+            bstate,
+            params,
+            inp.z,
+            inp.z_cov,
         )
     gps_accepted = None
     if inp.gps is not None:
@@ -548,10 +581,16 @@ def run_trajectory_bank(
     params: pukf.PoseUKFParams,
     inputs: PoseInputs,
     consts: Optional[PoseStepConstants] = None,
+    *,
+    use_fused: str | bool = "auto",
 ) -> tuple[pukf.PoseUKFState, TickOutput]:
     """Fleet-scale replay: ``lax.scan`` over ticks of :func:`pose_step_bank`
     — inputs have shape (T, bank, ...); one compilation, fused kernels every
     tick. Note: unlike ``vmap(run_trajectory)``, the prediction interval is
     shared across the bank at each tick (the per-vehicle sensor values,
     validity, covariances and ADCP cell weightings still vary)."""
-    return jax.lax.scan(lambda s, i: pose_step_bank(s, params, i, consts), bstate, inputs)
+    return jax.lax.scan(
+        lambda s, i: pose_step_bank(s, params, i, consts, use_fused=use_fused),
+        bstate,
+        inputs,
+    )
