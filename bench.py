@@ -35,6 +35,7 @@ BENCH_ATE=0 to skip the accuracy replay.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -146,6 +147,69 @@ def bench_pose_full_tpu(bank_n, iters, dtype):
     dt = time.perf_counter() - t0
     if not bool(jnp.isfinite(bstate.cov).all()):
         raise RuntimeError("pose_full bench diverged: non-finite covariance")
+    return bank_n * FULL_TICKS * iters / dt
+
+
+def bench_pose_full_tpu_lanes(bank_n, iters, dtype):
+    """Lanes-persistent full-mission second: identical schedule to
+    :func:`bench_pose_full_tpu`, but the bank never leaves kernel layout
+    between launches — the per-call (B,n,n)↔(n,n,B) transposes and the
+    lower-triangle mirror of the public bank API are paid once outside the
+    loop instead of ~200 times per second (docs/TUNING.md roofline: those
+    layout copies are pure HBM traffic on a memory-bound kernel chain)."""
+    from slam_uwv_kalman_filters_tpu.models import pose_fused as pf
+    from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+    from slam_uwv_kalman_filters_tpu.ops import ukf as ukfops
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
+
+    state, params, ms = _pose_full_setup(dtype)
+    bstate = bankmod.replicate(state, bank_n)
+    bc = lambda a: jnp.broadcast_to(a, (bank_n, *a.shape))
+    bstate = bstate._replace(rotation_rate=bc(ms["gyro"]))
+    p_atm = params.atmospheric_pressure
+    # free the bank-first copy before the loop: at the 131k north-star bank
+    # the (B,53,53) covariance alone is ~1.5 GB, and the steady-state loop
+    # only ever needs the kernel-layout state (from_lanes takes structure,
+    # not values)
+    ls = jax.block_until_ready(pf.to_lanes(bstate))
+    like = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), bstate)
+    del bstate, state
+
+    # donate the carry: the production steady-state pattern — XLA aliases the
+    # input state buffers into the output, halving resident state
+    @functools.partial(jax.jit, donate_argnums=0)
+    def super_tick(ls):
+        for k in range(FULL_TICKS):
+            ls = pf.predict_lanes(ls, params, 0.01)
+            ls, _ = puf.update_model_lanes(
+                "acceleration", ls, bc(ms["acc"]), ms["acc_cov"]
+            )
+            if _DVL_AT(k):
+                ls, _ = puf.update_velocity_lanes(ls, params, bc(ms["dvl"]), ms["dvl_cov"])
+            if _PRESS_AT(k):
+                ls, _ = puf.update_model_lanes(
+                    "pressure", ls, bc(ms["press"]), ms["press_cov"],
+                    aux=(p_atm, 0.0, 0.0, 0.0),
+                )
+            if _ADCP_AT(k):
+                ls, _ = puf.update_model_lanes(
+                    "water_velocity", ls, bc(ms["adcp"]), ms["adcp_cov"],
+                    ukfops.D2P95, aux=(0.5,),
+                )
+            if _EFF_AT(k):
+                ls, _ = puf.update_body_efforts_lanes(ls, params, bc(ms["eff"]), ms["eff_cov"])
+        return ls
+
+    ls = jax.block_until_ready(super_tick(ls))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ls = super_tick(ls)
+    jax.block_until_ready(ls.cov_t)
+    dt = time.perf_counter() - t0
+    out = pf.from_lanes(ls, like)
+    if not bool(jnp.isfinite(out.cov).all()):
+        raise RuntimeError("pose_full lanes bench diverged: non-finite covariance")
     return bank_n * FULL_TICKS * iters / dt
 
 
@@ -513,8 +577,20 @@ def main():
             _log(f"ATE replay failed: {e}")
 
     if scenario == "pose_full":
+        # lanes-persistent steady-state loop by default on the TPU f32 path
+        # (BENCH_POSE_PATH=bank forces the public bank-API chain — the
+        # conservative layout-converting route; measured gap in TUNING.md
+        # "Roofline" section)
+        use_lanes = (
+            os.environ.get("BENCH_POSE_PATH", "lanes") == "lanes"
+            and jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) == jnp.float32
+        )
         t0 = time.perf_counter()
-        value = bench_pose_full_tpu(bank_n, iters, dtype)
+        if use_lanes:
+            value = bench_pose_full_tpu_lanes(bank_n, iters, dtype)
+        else:
+            value = bench_pose_full_tpu(bank_n, iters, dtype)
         _log(f"batched: {value:.0f} ticks/s (wall {time.perf_counter()-t0:.1f}s)")
         metric = "pose_full_mission_ticks_per_sec_per_chip"
         unit = "mission-ticks/s"

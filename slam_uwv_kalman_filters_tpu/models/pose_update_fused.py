@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops import geodesy as geo
+from ..ops import manifolds as mf
 from ..ops import ukf
 from ..ops import kernels
 from ..ops.kernels import (
@@ -57,6 +59,7 @@ if TYPE_CHECKING:
 __all__ = [
     "FUSED_MODELS",
     "update_fused_banked",
+    "update_body_efforts_lanes",
     "update_lanes",
     "update_model_fused_banked",
     "update_model_lanes",
@@ -831,6 +834,41 @@ def update_model_lanes(
         mahalanobis2=m2[0, :nb], accepted=acc[0, :nb] > 0.5, innovation=nu_t.T[:nb]
     )
     return lstate._replace(cov_t=covo_t, mu_t=muo_t), info
+
+
+def update_body_efforts_lanes(
+    lstate,
+    params: "PoseUKFParams",
+    z: jax.Array,  # (B, 6)
+    meas_cov: jax.Array,  # (B, 6, 6) or (6, 6)
+    *,
+    interpret: bool = False,
+):
+    """Model-aided effort update on kernel-layout state
+    (``PoseUKF.cpp:153-196,581-602``, full mode). Each instance's own bias-
+    and earth-rate-compensated body rate — the exact ``getRotationRate``
+    semantics (``PoseUKF.cpp:693-699``) read straight from the lanes-resident
+    mean — rides the measurement stage's per-instance aux, so the steady-state
+    loop never leaves the (col, row, B) layout for the 10 Hz efforts stream."""
+    from .pose_ukf import _EFFORTS_DEPS, _efforts_measurement
+
+    dtype = lstate.cov_t.dtype
+    nb = z.shape[0]
+    mu_bank = _unpack_storage(lstate.mu_t.T[:nb], _pose_state_like(dtype))
+    lat, _ = geo.nav_to_world(
+        params.projection, mu_bank.position[:, 0], mu_bank.position[:, 1]
+    )
+    earth_rot = jax.vmap(geo.earth_rotation_nav)(lat).astype(dtype)
+    rr_bank = (
+        lstate.rr_t.T[:nb]
+        - mu_bank.bias_gyro
+        - jax.vmap(mf.quat_rotate_inv)(mu_bank.orientation, earth_rot)
+    )
+    return update_lanes(
+        lstate, params, z, meas_cov,
+        lambda chi, rr_one: _efforts_measurement(chi, params, rr_one),
+        _EFFORTS_DEPS, h_aux=rr_bank, interpret=interpret,
+    )
 
 
 def update_velocity_fused_banked(

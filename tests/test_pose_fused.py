@@ -786,3 +786,105 @@ def test_step_lanes_validates_inputs():
                 puf.StepUpdate("z_position", z3[:, :1], jnp.eye(1)),
             ],
         )
+
+
+def test_mission_second_lanes_matches_bank_chain():
+    """The lanes-persistent full-mission loop (bench.py pose_full default:
+    predict + acc every tick, multi-rate DVL/pressure/ADCP/efforts) is
+    bit-identical to the public fused bank chain — the layout conversions
+    and the deferred lower-triangle mirror drop out of the math entirely."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+    from slam_uwv_kalman_filters_tpu.ops import ukf as ukfops
+
+    nb = 2
+    bstate, params = _make_bank(nb)
+    dt = 0.01
+    acc = jnp.asarray(RNG.normal(scale=0.1, size=(nb, 3)) + [0, 0, 9.81], jnp.float32)
+    r_acc = jnp.eye(3, dtype=jnp.float32) * 4e-5
+    dvl = jnp.asarray(RNG.normal(scale=0.3, size=(nb, 3)), jnp.float32)
+    r_dvl = jnp.eye(3, dtype=jnp.float32) * 1e-3
+    press = jnp.full((nb, 1), 101325.0, jnp.float32)
+    r_press = jnp.eye(1, dtype=jnp.float32) * 2500.0
+    adcp = jnp.asarray(RNG.normal(scale=0.05, size=(nb, 2)), jnp.float32)
+    r_adcp = jnp.eye(2, dtype=jnp.float32) * 1e-3
+    eff = jnp.asarray(RNG.normal(scale=0.5, size=(nb, 6)), jnp.float32)
+    r_eff = jnp.eye(6, dtype=jnp.float32) * 1.0
+    p_atm = params.atmospheric_pressure
+
+    # compressed 5-tick schedule: every stream fires at least once
+    dvl_at = lambda k: k % 2 == 1
+    press_at = lambda k: k == 4
+    adcp_at = lambda k: k == 4
+    eff_at = lambda k: k % 2 == 0
+
+    # reference: public fused bank chain (mirrors + layout converts per call)
+    ref = bstate
+    for k in range(5):
+        ref = pukf.predict_bank(ref, params, dt, use_fused="interpret")
+        ref, _ = pukf.update_acceleration_bank(ref, params, acc, r_acc, use_fused="interpret")
+        if dvl_at(k):
+            ref, _ = pukf.update_velocity_bank(ref, params, dvl, r_dvl, use_fused="interpret")
+        if press_at(k):
+            ref, _ = pukf.update_pressure_bank(ref, params, press, r_press, use_fused="interpret")
+        if adcp_at(k):
+            ref, _ = pukf.update_water_velocity_bank(
+                ref, params, adcp, r_adcp, 0.5, use_fused="interpret"
+            )
+        if eff_at(k):
+            rr = pukf.get_rotation_rate_bank(ref, params)
+            ref, _ = pukf.update_body_efforts_bank(
+                ref, params, eff, r_eff, rr, use_fused="interpret"
+            )
+
+    # lanes-persistent loop: one conversion in, one out
+    ls = pose_fused.to_lanes(bstate)
+    for k in range(5):
+        ls = pose_fused.predict_lanes(ls, params, dt, interpret=True)
+        ls, _ = puf.update_model_lanes("acceleration", ls, acc, r_acc, interpret=True)
+        if dvl_at(k):
+            ls, _ = puf.update_velocity_lanes(ls, params, dvl, r_dvl, interpret=True)
+        if press_at(k):
+            ls, _ = puf.update_model_lanes(
+                "pressure", ls, press, r_press, aux=(p_atm, 0.0, 0.0, 0.0), interpret=True
+            )
+        if adcp_at(k):
+            ls, _ = puf.update_model_lanes(
+                "water_velocity", ls, adcp, r_adcp, ukfops.D2P95, aux=(0.5,), interpret=True
+            )
+        if eff_at(k):
+            ls, _ = puf.update_body_efforts_lanes(ls, params, eff, r_eff, interpret=True)
+    out = pose_fused.from_lanes(ls, bstate)
+
+    np.testing.assert_array_equal(np.asarray(out.cov), np.asarray(ref.cov))
+    np.testing.assert_array_equal(np.asarray(out.mu.position), np.asarray(ref.mu.position))
+    np.testing.assert_array_equal(
+        np.asarray(out.mu.orientation), np.asarray(ref.mu.orientation)
+    )
+    np.testing.assert_array_equal(np.asarray(out.mu.bias_gyro), np.asarray(ref.mu.bias_gyro))
+
+
+def test_update_body_efforts_lanes_matches_bank():
+    """update_body_efforts_lanes computes each instance's own compensated
+    body rate (getRotationRate, PoseUKF.cpp:693-699) — identical to feeding
+    get_rotation_rate_bank into the public per-instance efforts update."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    nb = 3
+    bstate, params = _make_bank(nb)
+    eff = jnp.asarray(RNG.normal(scale=0.5, size=(nb, 6)), jnp.float32)
+    r_eff = jnp.eye(6, dtype=jnp.float32) * 1.0
+
+    rr = pukf.get_rotation_rate_bank(bstate, params)
+    ref, ref_info = pukf.update_body_efforts_bank(
+        bstate, params, eff, r_eff, rr, use_fused="interpret"
+    )
+
+    ls = pose_fused.to_lanes(bstate)
+    ls, info = puf.update_body_efforts_lanes(ls, params, eff, r_eff, interpret=True)
+    out = pose_fused.from_lanes(ls, bstate)
+
+    np.testing.assert_array_equal(np.asarray(out.cov), np.asarray(ref.cov))
+    np.testing.assert_array_equal(np.asarray(out.mu.position), np.asarray(ref.mu.position))
+    np.testing.assert_array_equal(
+        np.asarray(info.mahalanobis2), np.asarray(ref_info.mahalanobis2)
+    )
