@@ -50,6 +50,21 @@ def _log(*a):
     print(*a, file=sys.stderr)
 
 
+def _make_sync(example):
+    """True device synchronization for timing loops.
+
+    On the axon remote-TPU backend ``jax.block_until_ready`` returns
+    immediately (measured: a 768 MB triad "completes" in 0.12 ms under it,
+    while a forced host readback shows the real cost), so every timed region
+    must end with a host readback. This builds a tiny jitted probe (one
+    element of the array, so the transfer is 4 bytes) compiled once outside
+    the timed region; calling the returned function blocks until every
+    enqueued execution the probed array depends on has actually run."""
+    probe = jax.jit(lambda a: a.reshape(-1)[0])
+    probe(example).item()  # compile + warm outside any timed region
+    return lambda a: probe(a).item()
+
+
 def build_step(dtype, scenario: str = "pose"):
     if scenario == "pose":
         return _build_pose_step(dtype)
@@ -139,11 +154,13 @@ def bench_pose_full_tpu(bank_n, iters, dtype):
                 bs, _ = pukf.update_body_efforts_bank(bs, params, bc(ms["eff"]), ms["eff_cov"], rr)
         return bs
 
-    bstate = jax.block_until_ready(super_tick(bstate))  # compile + warm
+    sync = _make_sync(bstate.cov)
+    bstate = super_tick(bstate)  # compile + warm
+    sync(bstate.cov)
     t0 = time.perf_counter()
     for _ in range(iters):
         bstate = super_tick(bstate)
-    jax.block_until_ready(bstate)
+    sync(bstate.cov)
     dt = time.perf_counter() - t0
     if not bool(jnp.isfinite(bstate.cov).all()):
         raise RuntimeError("pose_full bench diverged: non-finite covariance")
@@ -201,11 +218,13 @@ def bench_pose_full_tpu_lanes(bank_n, iters, dtype):
                 ls, _ = puf.update_body_efforts_lanes(ls, params, bc(ms["eff"]), ms["eff_cov"])
         return ls
 
-    ls = jax.block_until_ready(super_tick(ls))  # compile + warm
+    sync = _make_sync(ls.cov_t)
+    ls = super_tick(ls)  # compile + warm
+    sync(ls.cov_t)
     t0 = time.perf_counter()
     for _ in range(iters):
         ls = super_tick(ls)
-    jax.block_until_ready(ls.cov_t)
+    sync(ls.cov_t)
     dt = time.perf_counter() - t0
     out = pf.from_lanes(ls, like)
     if not bool(jnp.isfinite(out.cov).all()):
@@ -469,12 +488,14 @@ def bench_tpu_bank(state, step, bank_n, iters, dtype):
     ):
         to_lanes, lanes_step = lanes
         jstep = jax.jit(lambda ls: lanes_step(ls, z, r))
-        ls = jax.block_until_ready(to_lanes(bstate))
-        ls = jax.block_until_ready(jstep(ls))  # compile + warm
+        ls = to_lanes(bstate)
+        sync = _make_sync(ls.cov_t)
+        ls = jstep(ls)  # compile + warm
+        sync(ls.cov_t)
         t0 = time.perf_counter()
         for _ in range(iters):
             ls = jstep(ls)
-        jax.block_until_ready(ls.cov_t)
+        sync(ls.cov_t)
         dt = time.perf_counter() - t0
         return bank_n * iters / dt
 
@@ -486,11 +507,13 @@ def bench_tpu_bank(state, step, bank_n, iters, dtype):
             return banked(bs, z, r)
         return jax.vmap(step)(bs, z, r)
 
-    bstate = jax.block_until_ready(bank_step(bstate))  # compile + warm
+    sync = _make_sync(bstate.cov)
+    bstate = bank_step(bstate)  # compile + warm
+    sync(bstate.cov)
     t0 = time.perf_counter()
     for _ in range(iters):
         bstate = bank_step(bstate)
-    jax.block_until_ready(bstate)
+    sync(bstate.cov)
     dt = time.perf_counter() - t0
     return bank_n * iters / dt
 

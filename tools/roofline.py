@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 import sys
 import time
 
@@ -40,33 +41,70 @@ def _log(*a):
     print(*a, file=sys.stderr)
 
 
-def _time_best(fn, iters, repeats=5):
-    fn()  # warm
+def _time_best_chained(step, carry, iters, repeats=5):
+    """Time ``carry = step(carry, t)`` chains, synchronized by a one-element
+    host readback. Three axon-backend hazards shape this helper: (1)
+    ``jax.block_until_ready`` returns immediately (a 768 MB triad "completes"
+    in 0.12 ms under it), so only a host read is a true barrier; (2) the
+    runtime serves repeated executions with identical args from a cache, so
+    the carry chains call-to-call AND a host-fresh scalar ``t`` rides along
+    (chaining alone fails when the value iteration converges to a fixpoint —
+    bf16 rounding collapsed one variant and it "measured" 3x hardware peak);
+    (3) per-dispatch latency is ~ms, so callers amortize with a device-side
+    fori_loop. The readback round-trip is measured separately and
+    subtracted."""
+    probe = jax.jit(lambda a: a.reshape(-1)[0])
+    probe(carry).item()  # compile probe
+    carry = step(carry, 0.0)  # compile step
+    probe(carry).item()
+    # readback round-trip on an already-materialized carry
+    t0 = time.perf_counter()
+    probe(carry).item()
+    rtt = time.perf_counter() - t0
     best = float("inf")
+    t = 0.0
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+            t += 1e-6
+            carry = step(carry, t)
+        probe(carry).item()
+        best = min(best, (time.perf_counter() - t0 - rtt) / iters)
+    return max(best, 1e-12)
+
+
+K_INNER = 32  # device-side work iterations per dispatch (lax.fori_loop):
+# one RPC dispatch amortized over K full passes — per-call dispatch latency
+# (~ms through the tunnel) would otherwise rival the device time of a single
+# pass. XLA cannot fuse across fori_loop iterations, so each one is a real
+# HBM round trip / kernel launch.
 
 
 def measure_hbm_bw():
-    """Streaming triad y = a*x + y: 3 HBM transfers (2 reads + 1 write) of a
-    256 Mi-element f32 array per call."""
+    """Streaming triad y <- c*x + y iterated K_INNER times per dispatch:
+    3 HBM transfers (2 reads + 1 write) of a 256 Mi-element f32 array per
+    iteration; y chains call-to-call."""
     n = 256 * 1024 * 1024
-    x = jnp.arange(n, dtype=jnp.float32)
+    x = jnp.arange(n, dtype=jnp.float32) * 1e-9
     y = jnp.ones((n,), jnp.float32)
-    triad = jax.jit(lambda x, y: 1.5 * x + y)
-    jax.block_until_ready(triad(x, y))
-    dt = _time_best(lambda: triad(x, y), iters=4)
-    return 3 * 4 * n / dt  # bytes/s
+
+    # x rides as an argument (a closure constant this size gets baked into
+    # the remote-compile payload and rejected with HTTP 413); the host-fresh
+    # t folds into the multiplier, costing no extra traffic
+    @jax.jit
+    def triad(x, y, t):
+        return jax.lax.fori_loop(0, K_INNER, lambda i, c: (1.000001 + t) * x + c, y)
+
+    dt = _time_best_chained(lambda c, t: triad(x, c, t), y, iters=3)
+    return 3 * 4 * n * K_INNER / dt  # bytes/s
 
 
-def measure_vpu_fma():
-    """Long FMA chain on a VMEM-resident (8, 512, 128) f32 block: 2 flops per
-    element per chain step, 512 steps, tiny HBM traffic -> pure VPU rate."""
+def measure_vpu_fma(dtype=jnp.float32):
+    """Long FMA chain on a VMEM-resident (8, 512, 128) block: 2 flops per
+    element per chain step, 512 steps, tiny HBM traffic -> pure VPU rate.
+    The a-operand chains call-to-call so every launch is unique. The bf16
+    variant answers whether a half-precision phase-E experiment in the fused
+    filter kernels could pay (it only can if the VPU runs bf16 FMAs at 2x)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -76,15 +114,20 @@ def measure_vpu_fma():
     def kernel(a_ref, b_ref, o_ref):
         a = a_ref[:]
         b = b_ref[:]
-        acc = a
-        for _ in range(CHAIN):
-            acc = acc * b + a
-        o_ref[:] = acc
+        # four independent accumulator chains expose ILP — a single
+        # dependent chain measures FMA latency, not throughput
+        a0, a1, a2, a3 = a, a + 1.0, a + 2.0, a + 3.0
+        for _ in range(CHAIN // 4):
+            a0 = a0 * b + a
+            a1 = a1 * b + a
+            a2 = a2 * b + a
+            a3 = a3 * b + a
+        o_ref[:] = (a0 + a1 + a2 + a3) * 1e-3  # keep the chained carry bounded
 
     grid = (64,)
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -92,23 +135,37 @@ def measure_vpu_fma():
         ],
         out_specs=pl.BlockSpec(shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
     )
-    a = jnp.full(shape, 1.0000001, jnp.float32)
-    b = jnp.full(shape, 0.9999999, jnp.float32)
-    f = jax.jit(lambda a, b: call(a, b))
-    jax.block_until_ready(f(a, b))
-    dt = _time_best(lambda: f(a, b), iters=8)
-    flops = 2 * CHAIN * np.prod(shape) * grid[0]
+    a = jnp.full(shape, 1.0000001, dtype)
+    b = jnp.full(shape, 0.9999999, dtype)
+
+    @jax.jit
+    def f(a, b, t):
+        return jax.lax.fori_loop(0, K_INNER, lambda i, c: call(c, b + t), a)
+
+    dt = _time_best_chained(lambda c, t: f(c, b, jnp.asarray(t, dtype)), a, iters=3)
+    flops = 2 * CHAIN * np.prod(shape) * grid[0] * K_INNER
     return flops / dt
 
 
 def measure_mxu(precision, dtype=jnp.float32):
+    """4096³ matmul, K_INNER per dispatch, with a chained value-varying
+    carry. The carry must hold DIFFERENT values every iteration: any carry
+    that converges to a fixpoint (all-ones with rescale; mean-field collapse
+    of a near-uniform operand under bf16 rounding) gets served from the
+    runtime's execution cache ("595 TFLOP/s bf16" on a ~200-peak part).
+    A Ginibre operand a ~ N(0,1)/sqrt(n) mixes chaotically with spectral
+    radius ~1, so b never converges and its norm drifts only slowly."""
     n = 4096
-    a = jnp.ones((n, n), dtype)
-    b = jnp.ones((n, n), dtype)
-    f = jax.jit(functools.partial(jnp.dot, precision=precision))
-    jax.block_until_ready(f(a, b))
-    dt = _time_best(lambda: f(a, b), iters=8)
-    return 2 * n**3 / dt
+    a = (jax.random.normal(jax.random.PRNGKey(0), (n, n), jnp.float32) / np.sqrt(n)).astype(dtype)
+    b = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32).astype(dtype)
+    dot = functools.partial(jnp.dot, precision=precision)
+
+    @jax.jit
+    def f(a, b, t):
+        return jax.lax.fori_loop(0, K_INNER, lambda i, c: dot(a, c), b) + t
+
+    dt = _time_best_chained(lambda c, t: f(a, c, jnp.asarray(t, dtype)), b, iters=3)
+    return 2 * n**3 * K_INNER / dt
 
 
 def count_tick_flops(bank=512):
@@ -157,8 +214,14 @@ def main():
     backend = jax.default_backend()
     out = {"backend": backend}
 
-    _log("counting algorithmic flops/tick (CPU cost analysis, unfused lowering)…")
-    out["flops_per_tick_algorithmic"] = count_tick_flops()
+    pre = os.environ.get("ROOFLINE_FLOPS_PER_TICK")
+    if pre:
+        # reuse a previously measured count (the CPU cost-analysis compile of
+        # the 100-tick program takes ~5 min on this host)
+        out["flops_per_tick_algorithmic"] = float(pre)
+    else:
+        _log("counting algorithmic flops/tick (CPU cost analysis, unfused lowering)…")
+        out["flops_per_tick_algorithmic"] = count_tick_flops()
     _log(f"  flops/tick = {out['flops_per_tick_algorithmic']:.3e}")
 
     if backend != "cpu":
@@ -169,6 +232,10 @@ def main():
         _log("measuring VPU f32 FMA throughput…")
         out["vpu_f32_flops_per_s"] = measure_vpu_fma()
         _log(f"  {out['vpu_f32_flops_per_s']/1e12:.2f} TFLOP/s")
+
+        _log("measuring VPU bf16 FMA throughput…")
+        out["vpu_bf16_flops_per_s"] = measure_vpu_fma(jnp.bfloat16)
+        _log(f"  {out['vpu_bf16_flops_per_s']/1e12:.2f} TFLOP/s")
 
         _log("measuring MXU matmul throughput…")
         out["mxu_f32_default_flops_per_s"] = measure_mxu(jax.lax.Precision.DEFAULT)
