@@ -167,13 +167,16 @@ def bench_pose_full_tpu(bank_n, iters, dtype):
     return bank_n * FULL_TICKS * iters / dt
 
 
-def bench_pose_full_tpu_lanes(bank_n, iters, dtype):
+def bench_pose_full_tpu_lanes(bank_n, iters, dtype, steps=False):
     """Lanes-persistent full-mission second: identical schedule to
     :func:`bench_pose_full_tpu`, but the bank never leaves kernel layout
     between launches — the per-call (B,n,n)↔(n,n,B) transposes and the
     lower-triangle mirror of the public bank API are paid once outside the
     loop instead of ~200 times per second (docs/TUNING.md roofline: those
-    layout copies are pure HBM traffic on a memory-bound kernel chain)."""
+    layout copies are pure HBM traffic on a memory-bound kernel chain).
+    ``steps=True`` additionally fuses each tick's predict + in-kernel update
+    chain into a single ``step_lanes`` launch (the 10 Hz efforts stream keeps
+    its own launch), halving launch count."""
     from slam_uwv_kalman_filters_tpu.models import pose_fused as pf
     from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
     from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
@@ -198,22 +201,42 @@ def bench_pose_full_tpu_lanes(bank_n, iters, dtype):
     @functools.partial(jax.jit, donate_argnums=0)
     def super_tick(ls):
         for k in range(FULL_TICKS):
-            ls = pf.predict_lanes(ls, params, 0.01)
-            ls, _ = puf.update_model_lanes(
-                "acceleration", ls, bc(ms["acc"]), ms["acc_cov"]
-            )
-            if _DVL_AT(k):
-                ls, _ = puf.update_velocity_lanes(ls, params, bc(ms["dvl"]), ms["dvl_cov"])
-            if _PRESS_AT(k):
+            if steps:
+                ups = [puf.StepUpdate("acceleration", bc(ms["acc"]), ms["acc_cov"])]
+                if _DVL_AT(k):
+                    ups.append(puf.StepUpdate("velocity", bc(ms["dvl"]), ms["dvl_cov"]))
+                if _PRESS_AT(k):
+                    ups.append(
+                        puf.StepUpdate(
+                            "pressure", bc(ms["press"]), ms["press_cov"],
+                            None, (p_atm, 0.0, 0.0, 0.0),
+                        )
+                    )
+                if _ADCP_AT(k):
+                    ups.append(
+                        puf.StepUpdate(
+                            "water_velocity", bc(ms["adcp"]), ms["adcp_cov"],
+                            ukfops.D2P95, (0.5,),
+                        )
+                    )
+                ls, _ = puf.step_lanes(ls, params, 0.01, ups)
+            else:
+                ls = pf.predict_lanes(ls, params, 0.01)
                 ls, _ = puf.update_model_lanes(
-                    "pressure", ls, bc(ms["press"]), ms["press_cov"],
-                    aux=(p_atm, 0.0, 0.0, 0.0),
+                    "acceleration", ls, bc(ms["acc"]), ms["acc_cov"]
                 )
-            if _ADCP_AT(k):
-                ls, _ = puf.update_model_lanes(
-                    "water_velocity", ls, bc(ms["adcp"]), ms["adcp_cov"],
-                    ukfops.D2P95, aux=(0.5,),
-                )
+                if _DVL_AT(k):
+                    ls, _ = puf.update_velocity_lanes(ls, params, bc(ms["dvl"]), ms["dvl_cov"])
+                if _PRESS_AT(k):
+                    ls, _ = puf.update_model_lanes(
+                        "pressure", ls, bc(ms["press"]), ms["press_cov"],
+                        aux=(p_atm, 0.0, 0.0, 0.0),
+                    )
+                if _ADCP_AT(k):
+                    ls, _ = puf.update_model_lanes(
+                        "water_velocity", ls, bc(ms["adcp"]), ms["adcp_cov"],
+                        ukfops.D2P95, aux=(0.5,),
+                    )
             if _EFF_AT(k):
                 ls, _ = puf.update_body_efforts_lanes(ls, params, bc(ms["eff"]), ms["eff_cov"])
         return ls
@@ -604,14 +627,15 @@ def main():
         # (BENCH_POSE_PATH=bank forces the public bank-API chain — the
         # conservative layout-converting route; measured gap in TUNING.md
         # "Roofline" section)
+        pose_path = os.environ.get("BENCH_POSE_PATH", "lanes")
         use_lanes = (
-            os.environ.get("BENCH_POSE_PATH", "lanes") == "lanes"
+            pose_path in ("lanes", "steps")
             and jax.default_backend() == "tpu"
             and jnp.dtype(dtype) == jnp.float32
         )
         t0 = time.perf_counter()
         if use_lanes:
-            value = bench_pose_full_tpu_lanes(bank_n, iters, dtype)
+            value = bench_pose_full_tpu_lanes(bank_n, iters, dtype, steps=pose_path == "steps")
         else:
             value = bench_pose_full_tpu(bank_n, iters, dtype)
         _log(f"batched: {value:.0f} ticks/s (wall {time.perf_counter()-t0:.1f}s)")

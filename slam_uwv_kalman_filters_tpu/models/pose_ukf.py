@@ -829,6 +829,17 @@ def update_body_efforts_bank(bstate, params, z, meas_cov, rotation_rate_body, *,
         if fused:
             from . import pose_update_fused
 
+            if params.model.inertia_matrix.ndim == 2 and params.imu_in_body.ndim == 1:
+                # shared model parameters: the full Fossen inverse dynamics
+                # runs IN-KERNEL, rr riding the banked-aux lanes
+                return pose_update_fused.update_model_fused_banked(
+                    "body_efforts", bstate, z, meas_cov,
+                    aux_bank=rr,
+                    mscal=pose_update_fused._efforts_model_scal(
+                        params, bstate.cov.dtype
+                    ),
+                    interpret=interpret,
+                )
             return pose_update_fused.update_fused_banked(
                 bstate, params, z, meas_cov,
                 lambda chi, rr_one: _efforts_measurement(chi, params, rr_one),

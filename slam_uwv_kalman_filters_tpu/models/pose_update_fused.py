@@ -246,7 +246,32 @@ FUSED_MODELS = {
     "acceleration": 3,  # h = R⁻¹(a + [0,0,g]) + b_acc     (PoseUKF.cpp:125-131)
     "pressure": 1,  # h = p_atm − z_sensor·g·ρ             (PoseUKF.cpp:107-115)
     "water_velocity": 2,  # ADCP cell-weighted blend       (PoseUKF.cpp:133-151)
+    "body_efforts": 6,  # Fossen inverse dynamics          (PoseUKF.cpp:153-196)
 }
+
+# shared-parameter SMEM block layout of the in-kernel body_efforts model:
+# the full 6x6 hydrodynamic matrices plus restoring/lever constants, read as
+# scalars inside the kernel (the per-sigma-point (x, y, psi) substitution of
+# PoseUKF.cpp:159-171 comes from the state, not from here)
+_EFF_NSCAL = 119
+
+
+def _efforts_model_scal(params: "PoseUKFParams", dtype) -> jax.Array:
+    """(119, 1) SMEM operand: [M row-major x36; D_lin x36; D_quad x36;
+    weight; buoyancy; cog x3; cob x3; imu_in_body x3]."""
+    m = params.model
+    return jnp.concatenate(
+        [
+            m.inertia_matrix.reshape(-1),
+            m.damping_linear.reshape(-1),
+            m.damping_quadratic.reshape(-1),
+            m.weight.reshape(1),
+            m.buoyancy.reshape(1),
+            m.cog.reshape(-1),
+            m.cob.reshape(-1),
+            params.imu_in_body.reshape(-1),
+        ]
+    ).astype(dtype)[:, None]
 
 
 def _sigma_quats(mu, y_ref):
@@ -283,8 +308,10 @@ def _rot_fwd(q, v):
     )
 
 
-def _model_measurement(model, mu, y_ref, aux):
-    """Measurement components Z (tuple of (107, B)) for ``model``."""
+def _model_measurement(model, mu, y_ref, aux, mscal=None):
+    """Measurement components Z (tuple of (107, B)) for ``model``.
+    ``mscal`` is the shared model-parameter scalar tuple, required only by
+    ``body_efforts`` (:func:`_efforts_model_scal` layout)."""
     if model == "velocity":
         q = _sigma_quats(mu, y_ref)
         v = (mu[7:8] + y_ref[:, 6, :], mu[8:9] + y_ref[:, 7, :], mu[9:10] + y_ref[:, 8, :])
@@ -329,6 +356,86 @@ def _model_measurement(model, mu, y_ref, aux):
             blended_x + mu[51:52] + y_ref[:, 50, :],
             blended_y + mu[52:53] + y_ref[:, 51, :],
         )
+    if model == "body_efforts":
+        # measurementEfforts (PoseUKF.cpp:153-196): Fossen inverse dynamics
+        # tau = M*nu_dot + C(nu)nu + D_lin*nu + D_quad*(|nu| o nu) + g(q),
+        # with the per-sigma-point online (x, y, psi) inertia/damping blocks
+        # substituted into the shared 6x6 matrices (PoseUKF.cpp:159-171) and
+        # each instance's own compensated body rate riding the aux lanes.
+        if mscal is None:
+            raise ValueError("body_efforts needs the shared model-parameter block")
+        wx, wy, wz = aux[0], aux[1], aux[2]  # getRotationRate per instance
+        weight, buoy = mscal[108], mscal[109]
+        cog = (mscal[110], mscal[111], mscal[112])
+        cob = (mscal[113], mscal[114], mscal[115])
+        pib = (mscal[116], mscal[117], mscal[118])
+
+        def embedded(base, sb, tb):
+            # shared 6x6 grid with the (0,1,5)x(0,1,5) block replaced by the
+            # per-sigma-point state matrix (col-major mat33 storage rows)
+            grid = [[mscal[base + 6 * i + j] for j in range(6)] for i in range(6)]
+            idx = (0, 1, 5)
+            for a2, i in enumerate(idx):
+                for b2, j in enumerate(idx):
+                    k = 3 * b2 + a2
+                    grid[i][j] = mu[sb + k : sb + k + 1] + y_ref[:, tb + k, :]
+            return grid
+
+        M6 = embedded(0, 20, 19)
+        L6 = embedded(36, 29, 28)
+        Q6 = embedded(72, 38, 37)
+
+        cross = lambda u, t: (
+            u[1] * t[2] - u[2] * t[1],
+            u[2] * t[0] - u[0] * t[2],
+            u[0] * t[1] - u[1] * t[0],
+        )
+        q = _sigma_quats(mu, y_ref)
+        # velocity in body: R^-1 v − omega x p_imu − R^-1 wv (reference order)
+        v = (mu[7:8] + y_ref[:, 6, :], mu[8:9] + y_ref[:, 7, :], mu[9:10] + y_ref[:, 8, :])
+        vbx, vby, vbz = _rot_inv(q, v)
+        cw = cross((wx, wy, wz), pib)  # omega x p_imu, (1, B) rows
+        wvx, wvy, wvz = _rot_inv(
+            q, (mu[47:48] + y_ref[:, 46, :], mu[48:49] + y_ref[:, 47, :], 0.0)
+        )
+        v6 = (vbx - cw[0] - wvx, vby - cw[1] - wvy, vbz - cw[2] - wvz, wx, wy, wz)
+        # acceleration in body: R^-1 a − omega x (omega x p_imu)
+        a = (
+            mu[10:11] + y_ref[:, 9, :],
+            mu[11:12] + y_ref[:, 10, :],
+            mu[12:13] + y_ref[:, 11, :],
+        )
+        abx, aby, abz = _rot_inv(q, a)
+        cc = cross((wx, wy, wz), cw)
+        a3 = (abx - cc[0], aby - cc[1], abz - cc[2])
+
+        # M * nu_dot (angular acceleration is zero -> only the first 3 cols)
+        Ma = [sum(M6[i][j] * a3[j] for j in range(3)) for i in range(6)]
+        # C(nu)nu = [w x p1; w x p2 + v x p1], p = M*nu (ops/dynamics.py:100)
+        p1 = [sum(M6[i][j] * v6[j] for j in range(6)) for i in range(3)]
+        p2 = [sum(M6[3 + i][j] * v6[j] for j in range(6)) for i in range(3)]
+        c1 = cross((wx, wy, wz), p1)
+        c2a = cross((wx, wy, wz), p2)
+        c2b = cross(v6[:3], p1)
+        cor = (c1[0], c1[1], c1[2], c2a[0] + c2b[0], c2a[1] + c2b[1], c2a[2] + c2b[2])
+        # damping
+        av6 = [jnp.abs(v6[j]) * v6[j] for j in range(6)]
+        D = [
+            sum(L6[i][j] * v6[j] for j in range(6))
+            + sum(Q6[i][j] * av6[j] for j in range(6))
+            for i in range(6)
+        ]
+        # restoring term g(q) (ops/dynamics.py:119-132)
+        upx, upy, upz = _rot_inv(q, (0.0, 0.0, 1.0))
+        dwb = buoy - weight
+        fg = (-upx * weight, -upy * weight, -upz * weight)
+        fb = (upx * buoy, upy * buoy, upz * buoy)
+        tg, tb2 = cross(cog, fg), cross(cob, fb)
+        g6 = (
+            -(upx * dwb), -(upy * dwb), -(upz * dwb),
+            -(tg[0] + tb2[0]), -(tg[1] + tb2[1]), -(tg[2] + tb2[2]),
+        )
+        return tuple(Ma[i] + cor[i] + D[i] + g6[i] for i in range(6))
     raise ValueError(f"no in-kernel measurement model {model!r}")
 
 
@@ -383,14 +490,16 @@ def _make_update_model_kernel(model: str, banked_aux: bool = False):
         mu_ref,  # (54, B) prior mean, storage layout
         cov_ref,  # (53, 53, B) prior covariance
         scal_ref,  # (6, 1) SMEM: [gate threshold (<0 ⇒ accept any), aux×5]
-        *refs,  # [auxb_ref (5, B) if banked_aux] + outs + scratch:
+        *refs,  # [msc_ref (119, 1) SMEM if body_efforts]
+        #   + [auxb_ref (5, B) if banked_aux] + outs + scratch:
         #   covo_ref (53, 53, B), muo_ref (54, B), m2_ref (1, B),
         #   acc_ref (1, B), nu_ref (m, B), c_ref scratch (53, 53, B)
     ):
+        refs = list(refs)
+        msc_ref = refs.pop(0) if model == "body_efforts" else None
         if banked_aux:
-            auxb_ref, covo_ref, muo_ref, m2_ref, acc_ref, nu_ref, c_ref = refs
-        else:
-            covo_ref, muo_ref, m2_ref, acc_ref, nu_ref, c_ref = refs
+            auxb_ref = refs.pop(0)
+        covo_ref, muo_ref, m2_ref, acc_ref, nu_ref, c_ref = refs
 
         dvec = equilibrated_sigma_columns(cov_ref, c_ref, None, keep_columns=True)
 
@@ -399,7 +508,12 @@ def _make_update_model_kernel(model: str, banked_aux: bool = False):
             aux = tuple(auxb_ref[i : i + 1, :] for i in range(5))
         else:
             aux = tuple(scal_ref[1 + i, 0] for i in range(5))
-        S, C, nu = _factor_innovation(model, mu, c_ref, dvec, aux, z_ref[:], r_ref[:])
+        mscal = (
+            tuple(msc_ref[k, 0] for k in range(_EFF_NSCAL)) if msc_ref is not None else None
+        )
+        S, C, nu = _factor_innovation(
+            model, mu, c_ref, dvec, aux, z_ref[:], r_ref[:], mscal
+        )
         nu_ref[:] = nu
         _update_tail_from_sc(
             m, S, C, nu, mu, scal_ref[0, 0],
@@ -409,7 +523,7 @@ def _make_update_model_kernel(model: str, banked_aux: bool = False):
     return kernel
 
 
-def _factor_innovation(model, mu, c_ref, dvec, aux, z_in, r):
+def _factor_innovation(model, mu, c_ref, dvec, aux, z_in, r, mscal=None):
     """(S, C, nu) of an in-kernel measurement model evaluated on the ±factor
     columns kept in ``c_ref`` (plus the zero point): measurement components
     on (53, B) slabs, S = ½Σdz dzᵀ + R over {0, +cols, −cols}, and the
@@ -420,9 +534,9 @@ def _factor_innovation(model, mu, c_ref, dvec, aux, z_in, r):
     m = FUSED_MODELS[model]
     b = c_ref.shape[-1]
     dtype = dvec.dtype
-    Zp = _model_measurement(model, mu, _ColDeltas(c_ref, dvec, 1.0), aux)
-    Zm = _model_measurement(model, mu, _ColDeltas(c_ref, dvec, -1.0), aux)
-    Z0 = _model_measurement(model, mu, _ZeroDeltas(b, dtype), aux)
+    Zp = _model_measurement(model, mu, _ColDeltas(c_ref, dvec, 1.0), aux, mscal)
+    Zm = _model_measurement(model, mu, _ColDeltas(c_ref, dvec, -1.0), aux, mscal)
+    Z0 = _model_measurement(model, mu, _ZeroDeltas(b, dtype), aux, mscal)
 
     inv_n = 1.0 / NSIG
     zm = [
@@ -452,10 +566,14 @@ def _factor_innovation(model, mu, c_ref, dvec, aux, z_in, r):
     return S, C, nu
 
 
-def _pose_update_model_lanes(model, z_t, r_t, mu_t, cov_t, scal, aux_bank_t=None, *, interpret):
+def _pose_update_model_lanes(
+    model, z_t, r_t, mu_t, cov_t, scal, aux_bank_t=None, mscal=None, *, interpret
+):
     """One-launch whole update for an in-kernel model; ``scal`` is the (6, 1)
     SMEM block [gate threshold; aux scalars×5]. ``aux_bank_t`` (optional,
-    (5, B)) replaces the shared aux scalars with per-instance lanes."""
+    (5, B)) replaces the shared aux scalars with per-instance lanes;
+    ``mscal`` is the (119, 1) shared model-parameter block required by
+    ``body_efforts``."""
     nb = cov_t.shape[-1]
     n = TANGENT_DIM
     m = FUSED_MODELS[model]
@@ -468,6 +586,13 @@ def _pose_update_model_lanes(model, z_t, r_t, mu_t, cov_t, scal, aux_bank_t=None
         pl.BlockSpec((6, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ]
     operands = [z_t, r_t, mu_t, cov_t, scal]
+    if model == "body_efforts":
+        if mscal is None:
+            raise ValueError("body_efforts needs the shared model-parameter block")
+        in_specs.append(
+            pl.BlockSpec((_EFF_NSCAL, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        operands.append(mscal)
     if aux_bank_t is not None:
         in_specs.append(lane_spec(5))
         operands.append(aux_bank_t)
@@ -753,6 +878,7 @@ def update_model_fused_banked(
     gate_threshold: float | None = None,
     aux: tuple = (),
     aux_bank: jax.Array | None = None,  # (B, k≤5) per-instance aux values
+    mscal: jax.Array | None = None,  # (119, 1) shared model block (body_efforts)
     *,
     interpret: bool = False,
 ) -> tuple["PoseUKFState", ukf.UpdateInfo]:
@@ -786,6 +912,7 @@ def update_model_fused_banked(
         jnp.transpose(cov, (2, 1, 0)),
         _scal_block(gate_threshold, aux, dtype),
         aux_bank_t,
+        mscal,
         interpret=interpret,
     )
     cov_out = jnp.transpose(_mirror_half(covo_t), (2, 1, 0))[:nb]
@@ -804,6 +931,7 @@ def update_model_lanes(
     gate_threshold: float | None = None,
     aux: tuple = (),
     aux_bank: jax.Array | None = None,  # (B, k≤5) per-instance aux values
+    mscal: jax.Array | None = None,  # (119, 1) shared model block (body_efforts)
     *,
     interpret: bool = False,
 ):
@@ -828,6 +956,7 @@ def update_model_lanes(
         model, z.T, jnp.transpose(meas_cov, (1, 2, 0)), lstate.mu_t, lstate.cov_t,
         _scal_block(gate_threshold, aux, dtype),
         _aux_bank_lanes(aux_bank, nb, pad, dtype),
+        mscal,
         interpret=interpret,
     )
     info = ukf.UpdateInfo(
@@ -848,8 +977,13 @@ def update_body_efforts_lanes(
     (``PoseUKF.cpp:153-196,581-602``, full mode). Each instance's own bias-
     and earth-rate-compensated body rate — the exact ``getRotationRate``
     semantics (``PoseUKF.cpp:693-699``) read straight from the lanes-resident
-    mean — rides the measurement stage's per-instance aux, so the steady-state
-    loop never leaves the (col, row, B) layout for the 10 Hz efforts stream."""
+    mean — rides the kernel's per-instance aux lanes, so the steady-state
+    loop never leaves the (col, row, B) layout for the 10 Hz efforts stream.
+
+    With shared model parameters the full inverse-dynamics measurement runs
+    IN-KERNEL (``FUSED_MODELS["body_efforts"]``) — one launch, no delta-slab
+    HBM round trip; banked (Monte-Carlo) parameter sets fall back to the
+    generic deltas → XLA-h → fused-tail pipeline."""
     from .pose_ukf import _EFFORTS_DEPS, _efforts_measurement
 
     dtype = lstate.cov_t.dtype
@@ -864,6 +998,12 @@ def update_body_efforts_lanes(
         - mu_bank.bias_gyro
         - jax.vmap(mf.quat_rotate_inv)(mu_bank.orientation, earth_rot)
     )
+    if params.model.inertia_matrix.ndim == 2 and params.imu_in_body.ndim == 1:
+        return update_model_lanes(
+            "body_efforts", lstate, z, meas_cov,
+            aux_bank=rr_bank, mscal=_efforts_model_scal(params, dtype),
+            interpret=interpret,
+        )
     return update_lanes(
         lstate, params, z, meas_cov,
         lambda chi, rr_one: _efforts_measurement(chi, params, rr_one),

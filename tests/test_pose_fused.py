@@ -888,3 +888,52 @@ def test_update_body_efforts_lanes_matches_bank():
     np.testing.assert_array_equal(
         np.asarray(info.mahalanobis2), np.asarray(ref_info.mahalanobis2)
     )
+
+
+def test_body_efforts_in_kernel_model_matches_generic():
+    """The in-kernel Fossen inverse-dynamics model (FUSED_MODELS
+    ["body_efforts"]: per-sigma-point (x,y,psi) inertia/damping substitution,
+    coriolis, quadratic damping, restoring term, per-instance body rates on
+    the aux lanes) matches the generic deltas -> XLA-h -> fused-tail route at
+    f32 roundoff, through both public dispatchers."""
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    nb = 3
+    bstate, params = _make_bank(nb)
+    eff = jnp.asarray(RNG.normal(scale=0.5, size=(nb, 6)), jnp.float32)
+    r_eff = jnp.eye(6, dtype=jnp.float32) * 1.0
+    rr = pukf.get_rotation_rate_bank(bstate, params)
+
+    ref, ref_info = puf.update_fused_banked(
+        bstate, params, eff, r_eff,
+        lambda chi, rr_one: pukf._efforts_measurement(chi, params, rr_one),
+        pukf._EFFORTS_DEPS, h_aux=rr, interpret=True,
+    )
+
+    # public bank dispatcher (per-instance rr + shared params -> in-kernel)
+    out, info = pukf.update_body_efforts_bank(
+        bstate, params, eff, r_eff, rr, use_fused="interpret"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.cov), np.asarray(ref.cov), rtol=5e-3, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.mu.position), np.asarray(ref.mu.position), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(info.innovation), np.asarray(ref_info.innovation),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(info.accepted), np.asarray(ref_info.accepted)
+    )
+
+    # lanes dispatcher computes its own per-instance getRotationRate and
+    # takes the same in-kernel route
+    ls = pose_fused.to_lanes(bstate)
+    ls, linfo = puf.update_body_efforts_lanes(ls, params, eff, r_eff, interpret=True)
+    lout = pose_fused.from_lanes(ls, bstate)
+    np.testing.assert_array_equal(np.asarray(lout.cov), np.asarray(out.cov))
+    np.testing.assert_array_equal(
+        np.asarray(linfo.mahalanobis2), np.asarray(info.mahalanobis2)
+    )
