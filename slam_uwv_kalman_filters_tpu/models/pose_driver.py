@@ -29,6 +29,8 @@ __all__ = [
     "run_trajectory",
     "pose_step_bank",
     "run_trajectory_bank",
+    "pose_step_bank_lanes",
+    "run_trajectory_bank_lanes",
     "TickOutput",
 ]
 
@@ -594,3 +596,197 @@ def run_trajectory_bank(
         bstate,
         inputs,
     )
+
+
+# ---------------------------------------------------------------------------
+# lanes-persistent fleet replay: the whole scan in kernel layout
+# ---------------------------------------------------------------------------
+
+
+def _bank_struct(nb: int, dtype):
+    """Structural (ShapeDtypeStruct) bank state — ``from_lanes`` only reads
+    shapes/structure from its ``like`` argument, so the scan never has to
+    keep a real bank-first copy alive."""
+    from . import pose_update_fused as puf
+
+    one = puf._pose_state_like(dtype)
+    mu = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct((nb, *x.shape), dtype), one
+    )
+    return pukf.PoseUKFState(
+        mu=mu,
+        cov=jax.ShapeDtypeStruct((nb, 53, 53), dtype),
+        rotation_rate=jax.ShapeDtypeStruct((nb, 3), dtype),
+    )
+
+
+def _lanes_select(valid, new_ls, old_ls, pad):
+    """Masked accept on kernel-layout state: (B,) validity broadcast along
+    the trailing lane axis (padding lanes keep their old filler values)."""
+    m = jnp.pad(valid, (0, pad))
+    return old_ls._replace(
+        cov_t=jnp.where(m, new_ls.cov_t, old_ls.cov_t),
+        mu_t=jnp.where(m, new_ls.mu_t, old_ls.mu_t),
+    )
+
+
+def pose_step_bank_lanes(
+    lstate,
+    params: pukf.PoseUKFParams,
+    inp: PoseInputs,
+    consts: Optional[PoseStepConstants] = None,
+    *,
+    nb: int,
+    interpret: bool = False,
+):
+    """Bank tick on kernel-layout state (``pose_fused.LanesBankState``): the
+    integration order of :func:`pose_step_bank`, but the covariance never
+    leaves the (col, row, B) lanes layout between launches and every
+    scheduled measurement model runs in-kernel — the production steady-state
+    loop as a scannable step (measured ≈1.6× :func:`pose_step_bank` on the
+    full mission tick, docs/TUNING.md "Roofline"). Shared parameter sets
+    only (Monte-Carlo sweeps keep :func:`pose_step_bank`). The visual-marker
+    stream, whose 59-DOF augmentation has no lanes form, round-trips through
+    bank layout on marker ticks."""
+    from ..ops import geodesy as geo, manifolds as mf, ukf as ukfops
+    from . import pose_fused as pf
+    from . import pose_update_fused as puf
+
+    dtype = lstate.cov_t.dtype
+    pad = lstate.cov_t.shape[-1] - nb
+    it = dict(interpret=interpret)
+
+    ls = pf.set_rotation_rate_lanes(lstate, inp.rotation_rate)
+    ls = pf.predict_lanes(ls, params, inp.dt[0], **it)
+
+    new, _ = puf.update_model_lanes("acceleration", ls, inp.acc, inp.acc_cov, **it)
+    ls = _lanes_select(inp.acc_valid, new, ls, pad)
+    new, dvl_info = puf.update_velocity_lanes(ls, params, inp.dvl, inp.dvl_cov, **it)
+    ls = _lanes_select(inp.dvl_valid, new, ls, pad)
+    new, _ = puf.update_model_lanes(
+        "pressure", ls, inp.pressure, inp.pressure_cov,
+        aux=(params.atmospheric_pressure, 0.0, 0.0, 0.0), **it,
+    )
+    ls = _lanes_select(inp.pressure_valid, new, ls, pad)
+    new, _ = puf.update_model_lanes("xy_position", ls, inp.xy, inp.xy_cov, **it)
+    ls = _lanes_select(inp.xy_valid, new, ls, pad)
+    new, adcp_info = puf.update_model_lanes(
+        "water_velocity", ls, inp.adcp, inp.adcp_cov, ukfops.D2P95,
+        aux_bank=inp.adcp_cell_weighting[:, None], **it,
+    )
+    ls = _lanes_select(inp.adcp_valid, new, ls, pad)
+    new, _ = puf.update_body_efforts_lanes(ls, params, inp.efforts, inp.efforts_cov, **it)
+    ls = _lanes_select(inp.efforts_valid, new, ls, pad)
+
+    if inp.z is not None:
+        new, _ = puf.update_model_lanes("z_position", ls, inp.z, inp.z_cov, **it)
+        ls = _lanes_select(inp.z_valid, new, ls, pad)
+    gps_accepted = None
+    if inp.gps is not None:
+        # PoseUKF.cpp:567-579 semantics (update_geographic_position_bank):
+        # project each instance's fix, correct the antenna lever arm with
+        # that instance's OWN mean orientation, χ²-95-gated XY update
+        lat = jnp.broadcast_to(jnp.asarray(inp.gps[:, 0], dtype), (nb,))
+        lon = jnp.broadcast_to(jnp.asarray(inp.gps[:, 1], dtype), (nb,))
+        x, y = geo.world_to_nav(params.projection, lat, lon)
+        projected = jnp.stack(
+            [jnp.broadcast_to(x, (nb,)), jnp.broadcast_to(y, (nb,))], axis=-1
+        ).astype(dtype)
+        gps_in_body = consts.gps_in_body if consts is not None else None
+        if gps_in_body is not None:
+            g = jnp.asarray(gps_in_body, dtype)
+            quat = ls.mu_t[3:7, :nb].T
+            lever = jax.vmap(mf.quat_rotate, in_axes=(0, 0 if g.ndim == 2 else None))(
+                quat, g
+            )
+            projected = projected - lever[:, :2]
+        new, gps_info = puf.update_model_lanes(
+            "xy_position", ls, projected, inp.gps_cov, ukfops.D2P95, **it
+        )
+        ls = _lanes_select(inp.gps_valid, new, ls, pad)
+        gps_accepted = inp.gps_valid & gps_info.accepted
+    if inp.delayed_xy is not None:
+        # PoseUKF.cpp:514-527: shift by each instance's (current − delayed)
+        # position, then the standard XY update
+        pos_xy = ls.mu_t[0:2, :nb].T
+        shifted = jnp.asarray(inp.delayed_xy, dtype) + (
+            pos_xy - jnp.asarray(inp.delayed_position, dtype)
+        )
+        new, _ = puf.update_model_lanes(
+            "xy_position", ls, shifted, inp.delayed_xy_cov, **it
+        )
+        ls = _lanes_select(inp.delayed_valid, new, ls, pad)
+    marker_nis = None
+    if inp.marker_features is not None:
+        if consts is None or consts.marker is None:
+            raise ValueError(
+                "schedule carries marker detections; pass "
+                "PoseStepConstants(marker=MarkerSetup(...))"
+            )
+        ms = consts.marker
+        bstate = pf.from_lanes(ls, _bank_struct(nb, dtype))
+        bstate, m_info = _masked_update(
+            bstate,
+            inp.marker_valid,
+            pukf.update_visual_features_bank,
+            bstate,
+            params,
+            inp.marker_features,
+            inp.marker_feature_covs,
+            ms.feature_positions,
+            ms.marker_position,
+            ms.marker_orientation,
+            ms.cov_marker_pose,
+            ms.camera,
+            ms.camera_in_imu_position,
+            ms.camera_in_imu_orientation,
+        )
+        ls = pf.to_lanes(bstate)
+        marker_nis = jnp.where(inp.marker_valid[:, None], m_info.mahalanobis2, 0.0)
+
+    mu_b = ls.mu_t[:, :nb]
+    cov_trace = sum(ls.cov_t[i, i, :nb] for i in range(53))
+    out = TickOutput(
+        position=mu_b[0:3].T,
+        orientation=mu_b[3:7].T,
+        velocity=mu_b[7:10].T,
+        cov_trace=cov_trace,
+        dvl_nis=jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0),
+        adcp_accepted=inp.adcp_valid & adcp_info.accepted,
+        gps_accepted=gps_accepted,
+        marker_nis=marker_nis,
+    )
+    return ls, out
+
+
+def run_trajectory_bank_lanes(
+    bstate: pukf.PoseUKFState,
+    params: pukf.PoseUKFParams,
+    inputs: PoseInputs,
+    consts: Optional[PoseStepConstants] = None,
+    *,
+    interpret: bool = False,
+) -> tuple[pukf.PoseUKFState, TickOutput]:
+    """Fleet replay with the bank held in kernel layout for the WHOLE scan:
+    one ``to_lanes`` in, one ``from_lanes`` out, fused kernels with in-kernel
+    measurement models every tick (:func:`pose_step_bank_lanes`). Same
+    semantics as :func:`run_trajectory_bank` on shared parameter sets
+    (parity pinned by ``tests/test_trajectory.py``); banked Monte-Carlo
+    parameter sets must use :func:`run_trajectory_bank`."""
+    from . import pose_fused as pf
+
+    if params.process_noise.ndim == 3 or jnp.ndim(params.atmospheric_pressure) >= 1:
+        raise ValueError(
+            "run_trajectory_bank_lanes serves shared parameter sets; banked "
+            "(Monte-Carlo) parameter sweeps use run_trajectory_bank"
+        )
+    nb = bstate.cov.shape[0]
+    ls0 = pf.to_lanes(bstate)
+    ls_f, outs = jax.lax.scan(
+        lambda ls, i: pose_step_bank_lanes(
+            ls, params, i, consts, nb=nb, interpret=interpret
+        ),
+        ls0,
+        inputs,
+    )
+    return pf.from_lanes(ls_f, bstate), outs
