@@ -942,3 +942,17 @@ def test_body_efforts_in_kernel_model_matches_generic():
     np.testing.assert_array_equal(
         np.asarray(linfo.mahalanobis2), np.asarray(info.mahalanobis2)
     )
+
+
+def test_body_efforts_model_requires_param_block():
+    """The in-kernel body_efforts model validates its shared-parameter SMEM
+    block up front (a clear error instead of a kernel-trace failure)."""
+    import pytest
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+
+    bstate, params = _make_bank(2)
+    ls = pose_fused.to_lanes(bstate)
+    z = jnp.zeros((2, 6), jnp.float32)
+    r = jnp.eye(6, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="model-parameter block"):
+        puf.update_model_lanes("body_efforts", ls, z, r, interpret=True)
