@@ -312,6 +312,79 @@ def measure_mission_ate(dtype_name: str):
     return float(ate), float(dist)
 
 
+def measure_bank_ate(bank_n: int, minutes: float = 1.0):
+    """Fleet-scale accuracy: the f32 ATE **distribution** over a Monte-Carlo
+    bank replayed through the lanes-persistent production loop on the chip
+    (``models/monte_carlo.run_fleet_mission``): per-instance on-device sensor
+    noise, perturbed initial estimates, banked (per-instance) parameters.
+    Returns the artifact dict (p50/p95/max, gate-acceptance spread, walls).
+
+    Calibration note (measured r4, committed in tests/test_fleet_ate.py):
+    the solo seed-0 replay's ATE sits in the lucky tail of the realization
+    distribution (solo seeds 0-3: 0.027-0.074 m), so the distribution's p50
+    is the honest fleet accuracy figure and the solo ``ate_m`` field remains
+    the canonical seed-0 north-star number."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
+    import icra18_mission
+
+    import jax.numpy as jnp
+
+    from slam_uwv_kalman_filters_tpu.models import monte_carlo as mc
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
+
+    dtype = jnp.float32
+    t0 = time.perf_counter()
+    state, params, spec = icra18_mission.build_fleet_setup(
+        minutes=minutes, rate=100.0, dtype_name="f32"
+    )
+    bstate = bankmod.replicate(state, bank_n)
+    bstate = mc.perturb_initial_bank(
+        bstate, jax.random.PRNGKey(7), pos_sigma=0.05, vel_sigma=0.05, yaw_sigma=3e-3
+    )
+    rng = np.random.default_rng(5)
+    scales = jnp.asarray(
+        1.0 + 0.2 * rng.standard_normal(bank_n).clip(-0.9, 0.9), dtype
+    )
+    bparams = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (bank_n, *jnp.shape(x))), params
+    )
+    bparams = bparams._replace(
+        process_noise=bparams.process_noise * scales[:, None, None],
+        water_velocity_scale=bparams.water_velocity_scale * scales,
+        atmospheric_pressure=bparams.atmospheric_pressure
+        + jnp.asarray(rng.normal(scale=100.0, size=bank_n), dtype),
+    )
+    path = "lanes" if jax.default_backend() == "tpu" else "bank"
+    run = jax.jit(
+        lambda bs: mc.run_fleet_mission(
+            bs, bparams, spec, jax.random.PRNGKey(42), path=path
+        )
+    )
+    lowered_wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    res = run(bstate)
+    ate = np.asarray(jax.device_get(res.ate))
+    gacc = np.asarray(jax.device_get(res.gps_accept_frac))
+    compile_and_run = time.perf_counter() - t1
+    t2 = time.perf_counter()
+    res2 = run(bstate)
+    np.asarray(jax.device_get(res2.ate))
+    replay_wall = time.perf_counter() - t2
+    if not np.all(np.isfinite(ate)):
+        raise RuntimeError("bank ATE replay diverged: non-finite ATE")
+    return {
+        "ate_bank_n": bank_n,
+        "ate_bank_p50": round(float(np.percentile(ate, 50)), 4),
+        "ate_bank_p95": round(float(np.percentile(ate, 95)), 4),
+        "ate_bank_max": round(float(ate.max()), 4),
+        "gate_accept_min": round(float(gacc.min()), 4),
+        "gate_accept_mean": round(float(gacc.mean()), 4),
+        "ate_bank_path": path,
+        "ate_bank_compile_plus_replay_s": round(compile_and_run + lowered_wall, 1),
+        "ate_bank_replay_s": round(replay_wall, 1),
+    }
+
+
 def _build_velocity_step(dtype):
     """BASELINE configs[0]: VelocityUKF with thruster efforts + DVL."""
     import jax.numpy as jnp
@@ -621,6 +694,14 @@ def main():
             )
         except Exception as e:
             _log(f"ATE replay failed: {e}")
+    bank_ate = None
+    bank_ate_n = int(os.environ.get("BENCH_BANK_ATE", "1024"))
+    if bank_ate_n > 0 and scenario == "pose_full":
+        try:
+            bank_ate = measure_bank_ate(bank_ate_n)
+            _log(f"fleet ATE distribution: {bank_ate}")
+        except Exception as e:
+            _log(f"fleet ATE replay failed: {e}")
 
     if scenario == "pose_full":
         # lanes-persistent steady-state loop by default on the TPU f32 path
@@ -678,10 +759,17 @@ def main():
         "unit": unit,
         "vs_baseline": round(vs_baseline, 2) if np.isfinite(vs_baseline) else None,
     }
+    if scenario == "pose_full":
+        # self-describing artifact: which code path produced the number
+        # (lanes = lanes-persistent kernel loop, steps = whole-step fused
+        # kernel, bank = public bank-API chain)
+        out["path"] = pose_path if use_lanes else "bank"
     if ate is not None:
         out["ate_m"] = round(ate, 4)
         out["ate_dtype"] = "float32"
         out["ate_bound_m"] = 0.10
+    if bank_ate is not None:
+        out.update(bank_ate)
     out["bank"] = bank_n
     print(json.dumps(out))
 

@@ -48,12 +48,14 @@ def parse_args(argv=None):
 
 def simulate_mission(n, dt, rng, *, speed=0.75, leg_s=40.0, depth=-20.0, g=9.8209,
                      rho=1025.0, p_atm=101325.0, gyro_bias=(2e-5, -1e-5, 1.5e-5),
-                     acc_bias=(2e-3, -1e-3, 1e-3), lat0=0.8, lon0=0.15):
+                     acc_bias=(2e-3, -1e-3, 1e-3), lat0=0.8, lon0=0.15, noise=True):
     """Ground truth + noisy sensor streams for a lawn-mower survey.
 
     Yaw-only attitude; headings alternate 0°/180° with 90° turn legs, the
     classic survey pattern of the ICRA'18 field trials. Returns everything in
-    the filter's NWU navigation frame.
+    the filter's NWU navigation frame. ``noise=False`` returns CLEAN sensor
+    streams (true biases still applied) — the fleet Monte-Carlo harness
+    (``models/monte_carlo.py``) draws per-instance noise on device instead.
     """
     t = np.arange(n) * dt
     # yaw-rate schedule: straight legs with smooth 90°-turn transitions
@@ -88,17 +90,85 @@ def simulate_mission(n, dt, rng, *, speed=0.75, leg_s=40.0, depth=-20.0, g=9.820
     omega_nav = np.stack([0 * yaw, 0 * yaw, yaw_rate], axis=1)
     # gyro: ω_imu = R⁻¹(ω_nav + ω_e) + b_g  (the filter removes earth rate)
     gyro = rot_to_body(quat, omega_nav + omega_e[None, :]) + np.asarray(gyro_bias)
-    gyro += rng.normal(scale=2e-5, size=(n, 3))
     # accelerometer: f = R⁻¹(a + [0,0,g]) + b_a
     acc_m = rot_to_body(quat, acc + np.array([0.0, 0.0, g])[None, :]) + np.asarray(acc_bias)
-    acc_m += rng.normal(scale=2e-3, size=(n, 3))
     # DVL: body-frame velocity
-    dvl = rot_to_body(quat, vel) + rng.normal(scale=2e-3, size=(n, 3))
+    dvl = rot_to_body(quat, vel)
     # pressure: p = p_atm − z·g·ρ
-    pressure = (p_atm - pos[:, 2] * g * rho)[:, None] + rng.normal(scale=50.0, size=(n, 1))
+    pressure = (p_atm - pos[:, 2] * g * rho)[:, None]
+    if noise:
+        gyro = gyro + rng.normal(scale=2e-5, size=(n, 3))
+        acc_m = acc_m + rng.normal(scale=2e-3, size=(n, 3))
+        dvl = dvl + rng.normal(scale=2e-3, size=(n, 3))
+        pressure = pressure + rng.normal(scale=50.0, size=(n, 1))
 
     return dict(t=t, pos=pos, vel=vel, quat=quat, yaw=yaw, gyro=gyro, acc=acc_m,
                 dvl=dvl, pressure=pressure, lat0=lat0, lon0=lon0, g=g, rho=rho, p_atm=p_atm)
+
+
+def build_fleet_setup(minutes=1.0, rate=100.0, dtype_name="f32", seed=0):
+    """(state, params, FleetMissionSpec) of this mission for the fleet
+    Monte-Carlo harness (``models/monte_carlo.py``): clean truth streams,
+    the same multi-rate schedule as :func:`main` (DVL 5 Hz, pressure 10 Hz)
+    plus a χ²-95-gated surface fix every 30 s through the GeographicPosition
+    path, and per-stream noise sigmas matching the solo replay."""
+    import jax.numpy as jnp
+
+    from slam_uwv_kalman_filters_tpu.models import monte_carlo as mc
+    from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
+    from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn, geodesy as geo
+    from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
+
+    dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
+    dt = 1.0 / rate
+    n = int(minutes * 60 * rate)
+    sim = simulate_mission(n, dt, np.random.default_rng(seed), noise=False)
+
+    cfg = default_pose_ukf_config()
+    state, params = pukf.init_from_pose(
+        imu_in_nwu_pos=jnp.asarray(sim["pos"][0], dtype),
+        imu_in_nwu_pos_cov=jnp.eye(3, dtype=dtype) * 0.25,
+        imu_in_nwu_rot=jnp.asarray(sim["quat"][0], dtype),
+        imu_in_nwu_rot_cov=jnp.eye(3, dtype=dtype) * 1e-4,
+        config=cfg,
+        model_parameters=dyn.default_uwv_parameters(dtype=dtype),
+        imu_delta_t=dt,
+        dtype=dtype,
+    )
+    every = lambda hz: (np.arange(n) % max(1, int(round(rate / hz)))) == 0
+    # clean gated surface fixes: truth XY through the FILTER's own projection
+    # (so the anchor cancels), noise sigma 1.5 m converted to radians
+    proj = params.projection
+    lat, lon = geo.nav_to_world(
+        proj,
+        jnp.asarray(sim["pos"][:, 0], dtype),
+        jnp.asarray(sim["pos"][:, 1], dtype),
+    )
+    m_rad = float(proj.m_rad)
+    n_rad_cos = float(proj.n_rad_cos)
+    spec = mc.FleetMissionSpec(
+        dt=dt,
+        gyro=jnp.asarray(sim["gyro"], dtype),
+        acc=jnp.asarray(sim["acc"], dtype),
+        dvl=jnp.asarray(sim["dvl"], dtype),
+        pressure=jnp.asarray(sim["pressure"], dtype),
+        truth_pos=jnp.asarray(sim["pos"], dtype),
+        dvl_valid=jnp.asarray(every(5.0)),
+        pressure_valid=jnp.asarray(every(10.0)),
+        gyro_sigma=2e-5,
+        acc_sigma=2e-3,
+        dvl_sigma=2e-3,
+        pressure_sigma=50.0,
+        acc_cov=jnp.eye(3, dtype=dtype) * (2e-3) ** 2 * 4,
+        dvl_cov=jnp.eye(3, dtype=dtype) * (2e-3) ** 2 * 4,
+        pressure_cov=jnp.eye(1, dtype=dtype) * 50.0**2 * 4,
+        gps=jnp.stack([lat, lon], axis=-1),
+        gps_valid=jnp.asarray(every(1.0 / 30.0)),
+        gps_lat_sigma=1.5 / m_rad,
+        gps_lon_sigma=1.5 / n_rad_cos,
+        gps_cov=jnp.eye(2, dtype=dtype) * 1.5**2 * 4,
+    )
+    return state, params, spec
 
 
 def main(argv=None):

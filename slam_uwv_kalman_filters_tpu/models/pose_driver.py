@@ -638,16 +638,20 @@ def pose_step_bank_lanes(
     *,
     nb: int,
     interpret: bool = False,
+    banked_ops=None,
 ):
     """Bank tick on kernel-layout state (``pose_fused.LanesBankState``): the
     integration order of :func:`pose_step_bank`, but the covariance never
     leaves the (col, row, B) lanes layout between launches and every
     scheduled measurement model runs in-kernel — the production steady-state
     loop as a scannable step (measured ≈1.6× :func:`pose_step_bank` on the
-    full mission tick, docs/TUNING.md "Roofline"). Shared parameter sets
-    only (Monte-Carlo sweeps keep :func:`pose_step_bank`). The visual-marker
-    stream, whose 59-DOF augmentation has no lanes form, round-trips through
-    bank layout on marker ticks."""
+    full mission tick, docs/TUNING.md "Roofline"). Banked (Monte-Carlo
+    sweep) parameter sets are supported: pass the pre-built
+    ``pose_fused.banked_predict_operands`` via ``banked_ops`` (the fully-
+    banked predict kernel mode), and the pressure/efforts models route their
+    per-instance parameters through the kernels' banked-aux lanes. The
+    visual-marker stream, whose 59-DOF augmentation has no lanes form,
+    round-trips through bank layout on marker ticks."""
     from ..ops import geodesy as geo, manifolds as mf, ukf as ukfops
     from . import pose_fused as pf
     from . import pose_update_fused as puf
@@ -657,16 +661,23 @@ def pose_step_bank_lanes(
     it = dict(interpret=interpret)
 
     ls = pf.set_rotation_rate_lanes(lstate, inp.rotation_rate)
-    ls = pf.predict_lanes(ls, params, inp.dt[0], **it)
+    ls = pf.predict_lanes(ls, params, inp.dt[0], banked_ops=banked_ops, **it)
 
     new, _ = puf.update_model_lanes("acceleration", ls, inp.acc, inp.acc_cov, **it)
     ls = _lanes_select(inp.acc_valid, new, ls, pad)
     new, dvl_info = puf.update_velocity_lanes(ls, params, inp.dvl, inp.dvl_cov, **it)
     ls = _lanes_select(inp.dvl_valid, new, ls, pad)
-    new, _ = puf.update_model_lanes(
-        "pressure", ls, inp.pressure, inp.pressure_cov,
-        aux=(params.atmospheric_pressure, 0.0, 0.0, 0.0), **it,
-    )
+    if jnp.ndim(params.atmospheric_pressure) >= 1:
+        # banked p_atm (Monte-Carlo sweep) rides the per-instance aux lanes
+        new, _ = puf.update_model_lanes(
+            "pressure", ls, inp.pressure, inp.pressure_cov,
+            aux_bank=jnp.asarray(params.atmospheric_pressure, dtype)[:, None], **it,
+        )
+    else:
+        new, _ = puf.update_model_lanes(
+            "pressure", ls, inp.pressure, inp.pressure_cov,
+            aux=(params.atmospheric_pressure, 0.0, 0.0, 0.0), **it,
+        )
     ls = _lanes_select(inp.pressure_valid, new, ls, pad)
     new, _ = puf.update_model_lanes("xy_position", ls, inp.xy, inp.xy_cov, **it)
     ls = _lanes_select(inp.xy_valid, new, ls, pad)
@@ -745,7 +756,9 @@ def pose_step_bank_lanes(
         marker_nis = jnp.where(inp.marker_valid[:, None], m_info.mahalanobis2, 0.0)
 
     mu_b = ls.mu_t[:, :nb]
-    cov_trace = sum(ls.cov_t[i, i, :nb] for i in range(53))
+    # one diagonal gather (valid in the lower-triangle-valid layout — the
+    # diagonal belongs to the half the kernels write) instead of 53 slices
+    cov_trace = jnp.diagonal(ls.cov_t, axis1=0, axis2=1).sum(axis=-1)[:nb]
     out = TickOutput(
         position=mu_b[0:3].T,
         orientation=mu_b[3:7].T,
@@ -770,21 +783,29 @@ def run_trajectory_bank_lanes(
     """Fleet replay with the bank held in kernel layout for the WHOLE scan:
     one ``to_lanes`` in, one ``from_lanes`` out, fused kernels with in-kernel
     measurement models every tick (:func:`pose_step_bank_lanes`). Same
-    semantics as :func:`run_trajectory_bank` on shared parameter sets
-    (parity pinned by ``tests/test_trajectory.py``); banked Monte-Carlo
-    parameter sets must use :func:`run_trajectory_bank`."""
+    semantics as :func:`run_trajectory_bank` — for shared parameter sets
+    (parity pinned by ``tests/test_full_mission.py::
+    test_run_trajectory_bank_lanes_matches_bank``) AND for banked
+    Monte-Carlo parameter sweeps (``tests/test_full_mission.py::
+    test_run_trajectory_bank_lanes_banked_params``): a banked ``params``
+    (leading bank axis on every leaf) pre-builds the fully-banked predict
+    operands once and closes over them as scan constants. The banked path
+    bakes the tick-0 prediction interval into those operands, so it requires
+    a constant ``dt`` across the schedule (what :func:`make_inputs`
+    produces)."""
     from . import pose_fused as pf
 
-    if params.process_noise.ndim == 3 or jnp.ndim(params.atmospheric_pressure) >= 1:
-        raise ValueError(
-            "run_trajectory_bank_lanes serves shared parameter sets; banked "
-            "(Monte-Carlo) parameter sweeps use run_trajectory_bank"
-        )
     nb = bstate.cov.shape[0]
     ls0 = pf.to_lanes(bstate)
+    banked_ops = None
+    if params.process_noise.ndim == 3:
+        dt0 = inputs.dt[(0,) * inputs.dt.ndim]  # scalar tick-0 interval
+        banked_ops = pf.banked_predict_operands(
+            params, dt0, bstate.cov.dtype, ls0.cov_t.shape[-1]
+        )
     ls_f, outs = jax.lax.scan(
         lambda ls, i: pose_step_bank_lanes(
-            ls, params, i, consts, nb=nb, interpret=interpret
+            ls, params, i, consts, nb=nb, interpret=interpret, banked_ops=banked_ops
         ),
         ls0,
         inputs,

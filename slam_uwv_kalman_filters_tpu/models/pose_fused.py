@@ -71,6 +71,8 @@ __all__ = [
     "to_lanes",
     "from_lanes",
     "predict_lanes",
+    "BankedPredictOperands",
+    "banked_predict_operands",
     "set_rotation_rate_lanes",
     "MEAN_ITERS",
     "STORAGE_DIM",
@@ -163,19 +165,38 @@ def _qnorm4(w, x, y, z):
     return w * inv, x * inv, y * inv, z * inv
 
 
-def _make_predict_kernel(banked_params: bool):
-    """Kernel factory. ``banked_params=False``: one shared parameter set —
-    decay vectors are (54, 1), geography comes from SMEM scalars and the
-    per-instance process noise is assembled in-kernel. ``banked_params=True``
-    (Monte-Carlo parameter sweeps): decay vectors are per-lane (54, B), the
-    geography anchor is a per-lane (2, B) operand in the q0m slot, and the
-    kernel emits the RAW ½ΣDDᵀ — the per-instance Q is added in XLA by the
-    wrapper (it needs the full banked params)."""
+def _make_predict_kernel(mode):
+    """Kernel factory over the three parameter modes:
+
+    - ``False`` ("shared"): one shared parameter set — decay vectors are
+      (54, 1), geography comes from SMEM scalars and the per-instance process
+      noise is assembled in-kernel.
+    - ``True`` ("raw" banked): decay vectors are per-lane (54, B), the
+      geography anchor is a per-lane (2, B) operand in the q0m slot, and the
+      kernel emits the RAW ½ΣDDᵀ — the per-instance Q is added in XLA by the
+      wrapper (it needs the full banked params).
+    - ``"full"`` (fully-banked, in-kernel Q — the lanes-persistent
+      Monte-Carlo path): per-lane decay vectors, a per-lane (53, 53, B) base
+      Q in the q0m slot and a (12, B) aux lane operand
+      [lat0; 1/m_rad; dt²·Qrot ×9; wv_scale·dt³] — the whole per-instance
+      noise assembly stays in-kernel, so the predicted covariance never
+      round-trips HBM for the Q add."""
+
+    if mode == "full":
+
+        def kernel(a_ref, mu_ref, rr_ref, coeff_ref, offs_ref, q0m_ref,
+                   aux_ref, scal_ref, cov_ref, muo_ref, y_ref, c_ref):
+            _pose_predict_body(
+                mode, a_ref, mu_ref, rr_ref, coeff_ref, offs_ref, q0m_ref,
+                scal_ref, cov_ref, muo_ref, y_ref, c_ref, aux_ref=aux_ref,
+            )
+
+        return kernel
 
     def kernel(a_ref, mu_ref, rr_ref, coeff_ref, offs_ref, q0m_ref, scal_ref,
                cov_ref, muo_ref, y_ref, c_ref):
         _pose_predict_body(
-            banked_params, a_ref, mu_ref, rr_ref, coeff_ref, offs_ref, q0m_ref,
+            mode, a_ref, mu_ref, rr_ref, coeff_ref, offs_ref, q0m_ref,
             scal_ref, cov_ref, muo_ref, y_ref, c_ref,
         )
 
@@ -183,20 +204,24 @@ def _make_predict_kernel(banked_params: bool):
 
 
 def _pose_predict_body(
-    banked_params,
+    banked_params,  # False=shared | True=raw banked | "full"=banked in-kernel Q
     a_ref,  # (53, 53, B) raw covariance, (col, row, B) layout
     mu_ref,  # (54, B) pre-predict mean, storage layout
     rr_ref,  # (3, B) cached rotation-rate input
     coeff_ref,  # (54, 1) or (54, B): per-row Markov coefficient -dt/tau
     offs_ref,  # (54, 1) or (54, B): per-row Markov rest point
     q0m_ref,  # shared: (53, 53, 1) dt^2-scaled Q, orientation block zeroed;
-    #           banked: (2, B) per-lane [lat0; 1/m_rad]
+    #           raw banked: (2, B) per-lane [lat0; 1/m_rad];
+    #           full banked: (53, 53, B) per-lane dt^2-scaled ori-zeroed Q
     scal_ref,  # (14, 1) SMEM scalars (see _S_* indices)
     cov_ref,  # out: (53, 53, B) predicted covariance (exactly symmetric)
     muo_ref,  # out: (54, B) predicted mean, storage layout
     y_ref,  # scratch: (107, 54, B) deltas -> propagated points -> deviations
     c_ref,  # scratch: (53, 53, B) equilibrated Schur complement (Cholesky)
+    aux_ref=None,  # full banked only: (12, B) [lat0; 1/m_rad; dt²·Qrot×9; wvq]
 ):
+    raw_banked = banked_params is True
+    full_banked = banked_params == "full"
     n = TANGENT_DIM
     b = a_ref.shape[-1]
     f1 = lambda i: scal_ref[i, 0]
@@ -238,9 +263,11 @@ def _pose_predict_body(
         # position [+] velocity*dt
         y_pos = x_pos + dt * x_vel
         # latitude at the (per-sigma-point) position -> earth rate (NWU)
-        if banked_params:
+        if raw_banked:
             geo_l = q0m_ref[:]  # (2, B): [lat0; 1/m_rad] per instance
             lat = geo_l[0:1] + x_pos[:, 0] * geo_l[1:2]  # (k, B)
+        elif full_banked:
+            lat = aux_ref[0:1, :] + x_pos[:, 0] * aux_ref[1:2, :]  # (k, B)
         else:
             lat = f1(_S_LAT0) + x_pos[:, 0] * f1(_S_MRADINV)  # (k, B)
         er_x = f1(_S_EARTHW) * jnp.cos(lat)
@@ -307,10 +334,12 @@ def _pose_predict_body(
     y_ref[:, 5] = rz
 
     # ---- process-noise assembly (src/PoseUKF.cpp:446-460) ----------------
-    # shared-params mode only — the banked-params wrapper adds Q in XLA, so
+    # shared and full-banked modes (the raw-banked wrapper adds Q in XLA, so
     # phase E skips every consumer; guard the assembly too rather than rely
-    # on Mosaic DCE to delete it
-    if not banked_params:
+    # on Mosaic DCE to delete it). In full-banked mode the Qrot entries and
+    # water-velocity scale come from the per-lane aux rows — (1, B) values
+    # broadcast through the same expressions as the shared scalars.
+    if not raw_banked:
         # orientation block: R(mu_in)*Qrot*R(mu_in)^T, Qrot pre-scaled by dt^2
         w0, x0, y0, z0 = mu[3:4], mu[4:5], mu[5:6], mu[6:7]  # (1, B)
         r00 = 1 - 2 * (y0 * y0 + z0 * z0)
@@ -323,7 +352,13 @@ def _pose_predict_body(
         r21 = 2 * (y0 * z0 + w0 * x0)
         r22 = 1 - 2 * (x0 * x0 + y0 * y0)
         R = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
-        Qr = tuple(tuple(f1(_S_QROT + 3 * i + j) for j in range(3)) for i in range(3))
+        if full_banked:
+            Qr = tuple(
+                tuple(aux_ref[2 + 3 * i + j : 3 + 3 * i + j, :] for j in range(3))
+                for i in range(3)
+            )
+        else:
+            Qr = tuple(tuple(f1(_S_QROT + 3 * i + j) for j in range(3)) for i in range(3))
         # T = R*Qr ; B3 = T*R^T (exact-symmetric assembly: compute lower, mirror)
         T = tuple(
             tuple(sum(R[i][k] * Qr[k][j] for k in range(3)) for j in range(3)) for i in range(3)
@@ -336,7 +371,8 @@ def _pose_predict_body(
                 B3[j][i] = v
         # velocity-scaled water-current inflation (z-velocity x10), dt^3 total
         v0, v1, v2 = mu[7:8], mu[8:9], mu[9:10]
-        wvq = f1(_S_WVQ) * (v0 * v0 + v1 * v1 + 100.0 * v2 * v2)  # (1, B)
+        wv_scale = aux_ref[11:12, :] if full_banked else f1(_S_WVQ)
+        wvq = wv_scale * (v0 * v0 + v1 * v1 + 100.0 * v2 * v2)  # (1, B)
 
     # ---- phase E: covariance 1/2*sum_i(D_i D_i^T) + Q, rows, sigma-chunked -
     # Half-triangle only: cov_ref[nn, nn:] — exactly the half the downstream
@@ -349,10 +385,12 @@ def _pose_predict_body(
     # shared-slab variant's off-by-one sub-slices are sublane-misaligned and
     # Mosaic's shifts cost more than the saved read.)
     def _finish_column(nn, acc):
-        if banked_params:
+        if raw_banked:
             cov_ref[nn, nn:53] = 0.5 * acc  # raw reconstruction; Q added in XLA
             return
-        acc = 0.5 * acc + q0m_ref[nn, nn:53]  # q0m broadcast over lanes
+        # q0m broadcast over lanes (shared) or per-lane (full banked) — the
+        # same indexing serves both layouts
+        acc = 0.5 * acc + q0m_ref[nn, nn:53]
         if 3 <= nn < 6:
             # rotated-orientation noise block entries (nn, c) for c in nn..5;
             # B3 is exactly symmetric, so the mirror reproduces the rest
@@ -371,21 +409,32 @@ def _pose_predict_body(
 
 
 def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret,
-                        banked_params: bool = False):
+                        banked_params=False, aux=None):
     nb = cov_t.shape[-1]
     n = TANGENT_DIM
     grid = (nb // LANE_TILE,)
     lane_spec = kernels.lane_block_spec
     full_spec = kernels.full_block_spec
-    if banked_params:
+    if banked_params == "full":
+        # per-lane decay vectors, per-lane base Q and the (12, B) aux rows
+        param_specs = [
+            lane_spec(STORAGE_DIM),
+            lane_spec(STORAGE_DIM),
+            lane_spec(n, n),
+            lane_spec(12),
+        ]
+        operands = (coeff, offs, q0m, aux)
+    elif banked_params:
         # per-lane decay vectors and geography anchor (q0m slot = (2, B))
         param_specs = [lane_spec(STORAGE_DIM), lane_spec(STORAGE_DIM), lane_spec(2)]
+        operands = (coeff, offs, q0m)
     else:
         param_specs = [
             full_spec(STORAGE_DIM, 1),
             full_spec(STORAGE_DIM, 1),
             full_spec(n, n, 1),
         ]
+        operands = (coeff, offs, q0m)
     cov_out, mu_out = pl.pallas_call(
         _make_predict_kernel(banked_params),
         out_shape=(
@@ -406,7 +455,7 @@ def _pose_predict_lanes(cov_t, mu_t, rr_t, coeff, offs, q0m, scal, *, interpret,
             pltpu.VMEM((n, n, LANE_TILE), cov_t.dtype),
         ],
         interpret=interpret,
-    )(cov_t, mu_t, rr_t, coeff, offs, q0m, scal)
+    )(cov_t, mu_t, rr_t, *operands, scal)
     # NOTE: cov_out is LOWER-TRIANGLE-VALID only (upper half is uninitialized
     # VMEM). Callers either mirror it (_mirror_half — the public bank API) or
     # pass it on as-is: every fused consumer (the equilibrated Cholesky and
@@ -681,12 +730,87 @@ def _predict_operands_shared(params: "PoseUKFParams", dt, dtype):
     return coeff, offs, q0m, scal
 
 
+class BankedPredictOperands(NamedTuple):
+    """Pre-packed kernel operands of the fully-banked (Monte-Carlo
+    parameter-sweep) lanes prediction — build ONCE per mission with
+    :func:`banked_predict_operands` and reuse across every tick (all entries
+    depend only on the parameter bank and the shared dt, so a scan closes
+    over them as loop constants instead of re-deriving ~1.5 GB of transposed
+    Q per tick at a 100k bank)."""
+
+    coeff: jax.Array  # (54, nb) per-lane Markov coefficient −dt/τ
+    offs: jax.Array  # (54, nb) per-lane Markov rest point
+    q0m_t: jax.Array  # (53, 53, nb) per-lane dt²-scaled ori-zeroed base Q
+    aux_t: jax.Array  # (12, nb) [lat0; 1/m_rad; dt²·Qrot ×9; wv_scale·dt³]
+    scal: jax.Array  # (14, 1) SMEM scalars (dt, EARTHW)
+
+
+def banked_predict_operands(
+    params: "PoseUKFParams", dt, dtype, nb_padded: int
+) -> BankedPredictOperands:
+    """Kernel operands of the fully-banked lanes prediction (``params`` has a
+    leading bank axis on every leaf; ``nb_padded`` is the lane-padded bank
+    size). Pad lanes replicate instance 0's parameters — finite math in pad
+    lanes, rows dropped on unpack."""
+    from . import pose_ukf as pukf
+
+    dt = jnp.asarray(dt, dtype)
+    nb = params.process_noise.shape[0]
+    pad = nb_padded - nb
+    pad_lane = lambda a: (
+        jnp.concatenate([a, jnp.tile(a[:1], (pad, *(1,) * (a.ndim - 1)))], axis=0)
+        if pad
+        else a
+    )
+    coeff, offs = jax.vmap(lambda pr: _decay_vectors(pr, dt, dtype))(params)
+    coeff = pad_lane(coeff[..., 0]).T  # (54, nb_padded)
+    offs = pad_lane(offs[..., 0]).T
+    so = pukf.POSE_MANIFOLD.block("orientation")
+    q0 = params.process_noise.astype(dtype)  # (B, 53, 53), symmetric
+    qrot = (dt**2 * q0[:, so, so]).reshape(nb, 9)  # row-major 3×3 entries
+    q0m = (dt**2 * q0).at[:, so, so].set(0.0)
+    q0m_t = jnp.transpose(pad_lane(q0m), (1, 2, 0))  # (53, 53, nb_padded)
+    aux = jnp.concatenate(
+        [
+            params.projection.lat0.astype(dtype)[:, None],
+            (1.0 / params.projection.m_rad.astype(dtype))[:, None],
+            qrot,
+            (params.water_velocity_scale.astype(dtype) * dt**3)[:, None],
+        ],
+        axis=-1,
+    )
+    scal = jnp.zeros(_NSCAL, dtype).at[_S_DT].set(dt).at[_S_EARTHW].set(geo.EARTHW)
+    return BankedPredictOperands(
+        coeff=coeff, offs=offs, q0m_t=q0m_t, aux_t=pad_lane(aux).T, scal=scal[:, None]
+    )
+
+
 def predict_lanes(
-    lstate: LanesBankState, params: "PoseUKFParams", dt, *, interpret: bool = False
+    lstate: LanesBankState,
+    params: "PoseUKFParams",
+    dt,
+    *,
+    interpret: bool = False,
+    banked_ops: BankedPredictOperands | None = None,
 ) -> LanesBankState:
     """Fused prediction directly on kernel-layout state — zero layout
-    conversions (the transposes of :func:`predict_fused_banked` vanish)."""
+    conversions (the transposes of :func:`predict_fused_banked` vanish).
+
+    Accepts shared parameter sets AND banked (Monte-Carlo sweep) parameter
+    sets: a banked ``params`` (leading bank axis) routes to the fully-banked
+    kernel mode with the per-instance Q assembled in-kernel. Callers looping
+    over ticks should pre-build the banked operands once with
+    :func:`banked_predict_operands` and pass them via ``banked_ops``."""
     dtype = lstate.cov_t.dtype
+    if banked_ops is None and params.process_noise.ndim == 3:
+        banked_ops = banked_predict_operands(params, dt, dtype, lstate.cov_t.shape[-1])
+    if banked_ops is not None:
+        cov_t2, mu_t2 = _pose_predict_lanes(
+            lstate.cov_t, lstate.mu_t, lstate.rr_t,
+            banked_ops.coeff, banked_ops.offs, banked_ops.q0m_t, banked_ops.scal,
+            interpret=interpret, banked_params="full", aux=banked_ops.aux_t,
+        )
+        return lstate._replace(cov_t=cov_t2, mu_t=mu_t2)
     coeff, offs, q0m, scal = _predict_operands_shared(params, dt, dtype)
     cov_t2, mu_t2 = _pose_predict_lanes(
         lstate.cov_t, lstate.mu_t, lstate.rr_t, coeff, offs, q0m, scal, interpret=interpret

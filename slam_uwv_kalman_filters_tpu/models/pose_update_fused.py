@@ -998,16 +998,34 @@ def update_body_efforts_lanes(
         - mu_bank.bias_gyro
         - jax.vmap(mf.quat_rotate_inv)(mu_bank.orientation, earth_rot)
     )
-    if params.model.inertia_matrix.ndim == 2 and params.imu_in_body.ndim == 1:
+    model_banked = params.model.inertia_matrix.ndim == 3
+    iib_banked = params.imu_in_body.ndim == 2
+    if not (model_banked or iib_banked):
         return update_model_lanes(
             "body_efforts", lstate, z, meas_cov,
             aux_bank=rr_bank, mscal=_efforts_model_scal(params, dtype),
             interpret=interpret,
         )
+
+    # banked (Monte-Carlo sweep) model parameters: the generic fused-tail
+    # pipeline with each instance's model riding the measurement stage's aux
+    # pytree (None entries for whichever leaves are shared)
+    def h(chi, aux):
+        rr_one, model_one, iib_one = aux
+        p_one = params._replace(
+            model=model_one if model_banked else params.model,
+            imu_in_body=iib_one if iib_banked else params.imu_in_body,
+        )
+        return _efforts_measurement(chi, p_one, rr_one)
+
+    h_aux = (
+        rr_bank,
+        params.model if model_banked else None,
+        params.imu_in_body if iib_banked else None,
+    )
     return update_lanes(
-        lstate, params, z, meas_cov,
-        lambda chi, rr_one: _efforts_measurement(chi, params, rr_one),
-        _EFFORTS_DEPS, h_aux=rr_bank, interpret=interpret,
+        lstate, params, z, meas_cov, h, _EFFORTS_DEPS, h_aux=h_aux,
+        interpret=interpret,
     )
 
 

@@ -502,3 +502,98 @@ def test_run_trajectory_bank_lanes_matches_bank():
     np.testing.assert_allclose(
         np.asarray(out.marker_nis), np.asarray(ref_out.marker_nis), rtol=1e-3, atol=1e-4
     )
+
+
+def test_run_trajectory_bank_lanes_banked_params():
+    """Monte-Carlo parameter sweeps through the lanes-persistent fleet replay
+    (VERDICT r3 item 2): a fully-banked parameter set — per-instance process
+    noise, water-velocity scale, atmospheric pressure, dynamic model and
+    geography anchors — replayed by ``run_trajectory_bank_lanes`` (fully-
+    banked predict kernel mode + banked-aux measurement lanes) must match
+    ``run_trajectory_bank``'s generic per-instance path."""
+    rng = np.random.default_rng(31)
+    n, T = 3, 4
+    dtype = jnp.float64
+    state, params = pukf.init_from_pose(
+        imu_in_nwu_pos=jnp.zeros(3, dtype),
+        imu_in_nwu_pos_cov=jnp.eye(3, dtype=dtype) * 0.04,
+        imu_in_nwu_rot=jnp.array([1.0, 0, 0, 0], dtype),
+        imu_in_nwu_rot_cov=jnp.eye(3, dtype=dtype) * 1e-4,
+        config=CFG,
+        model_parameters=dyn.default_uwv_parameters(dtype=dtype),
+        imu_delta_t=0.05,
+        dtype=dtype,
+    )
+    bstate = bankmod.replicate(state, n)
+    bstate = bstate._replace(
+        mu=bstate.mu._replace(
+            position=jnp.asarray(rng.normal(scale=0.5, size=(n, 3)), dtype),
+            velocity=jnp.asarray(rng.normal(scale=0.2, size=(n, 3)), dtype),
+        )
+    )
+    # fully-banked Monte-Carlo parameter draw: every leaf gets a bank axis,
+    # and the sweep perturbs noise scales, hydrostatics and the rigid-body
+    # model per instance
+    scales = jnp.asarray(1.0 + 0.2 * rng.standard_normal(n).clip(-0.8, 0.8), dtype)
+    bparams = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n, *jnp.shape(x))), params
+    )
+    bparams = bparams._replace(
+        process_noise=bparams.process_noise * scales[:, None, None],
+        water_velocity_scale=bparams.water_velocity_scale * scales,
+        atmospheric_pressure=bparams.atmospheric_pressure
+        + jnp.asarray(rng.normal(scale=100.0, size=n), dtype),
+        model=bparams.model._replace(
+            inertia_matrix=bparams.model.inertia_matrix * scales[:, None, None]
+        ),
+    )
+
+    flat = lambda a: np.reshape(np.asarray(a), (T * n, *np.shape(a)[2:]))
+    inputs = drv.make_inputs(
+        T * n,
+        0.05,
+        flat(rng.normal(scale=0.02, size=(T, n, 3))),
+        acc=flat(rng.normal(scale=0.05, size=(T, n, 3)) + np.array([0, 0, 9.81])),
+        acc_cov=jnp.eye(3, dtype=dtype) * 4e-5,
+        dvl=flat(rng.normal(scale=0.2, size=(T, n, 3))),
+        dvl_cov=jnp.eye(3, dtype=dtype) * 1e-3,
+        dvl_valid=flat(rng.random((T, n)) < 0.7),
+        pressure=np.full((T * n, 1), 101325.0),
+        pressure_cov=jnp.eye(1, dtype=dtype) * 2500.0,
+        pressure_valid=flat(rng.random((T, n)) < 0.5),
+        xy=flat(rng.normal(scale=0.3, size=(T, n, 2))),
+        xy_cov=jnp.eye(2, dtype=dtype) * 0.01,
+        xy_valid=flat(rng.random((T, n)) < 0.5),
+        adcp=flat(rng.normal(scale=0.05, size=(T, n, 2))),
+        adcp_cov=jnp.eye(2, dtype=dtype) * 1e-3,
+        adcp_cell_weighting=flat(rng.random((T, n))),
+        adcp_valid=flat(rng.random((T, n)) < 0.5),
+        efforts=flat(rng.normal(scale=0.5, size=(T, n, 6))),
+        efforts_cov=jnp.eye(6, dtype=dtype) * 1.0,
+        efforts_valid=flat(rng.random((T, n)) < 0.6),
+        dtype=dtype,
+    )
+    inputs = jax.tree_util.tree_map(lambda x: x.reshape(T, n, *x.shape[1:]), inputs)
+
+    ref_state, ref_out = drv.run_trajectory_bank(
+        bstate, bparams, inputs, use_fused=False
+    )
+    out_state, out = drv.run_trajectory_bank_lanes(
+        bstate, bparams, inputs, interpret=True
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out_state.cov), np.asarray(ref_state.cov), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.mu.position), np.asarray(ref_state.mu.position), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.position), np.asarray(ref_out.position), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.dvl_nis), np.asarray(ref_out.dvl_nis), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.adcp_accepted), np.asarray(ref_out.adcp_accepted)
+    )
