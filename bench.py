@@ -255,6 +255,72 @@ def bench_pose_full_tpu_lanes(bank_n, iters, dtype, steps=False):
     return bank_n * FULL_TICKS * iters / dt
 
 
+# surface-transit second (VERDICT r3 item 8): the EVENT-RATE streams in a
+# throughput number — on the surface the vehicle runs gated GPS fixes with
+# antenna lever arm (1 Hz), XY and depth fixes (2 Hz) and a delayed XY fix
+# (1 Hz) alongside IMU/DVL; no markers, no submerged model aiding
+_SURF_Z_AT = lambda k: k % 50 == 24  # 2 Hz depth
+_SURF_XY_AT = lambda k: k % 50 == 49  # 2 Hz XY fix
+_SURF_DEL_AT = lambda k: k == 49  # 1 Hz delayed-XY fix
+_SURF_GPS_AT = lambda k: k == 99  # 1 Hz gated GPS fix
+
+
+def bench_pose_surface_tpu_lanes(bank_n, iters, dtype):
+    """Surface-transit mission second on the lanes-persistent loop: gives the
+    gated GPS lanes path, the delayed-XY path and the XY/Z fixes perf
+    coverage (they were correctness-tested only through r3)."""
+    from slam_uwv_kalman_filters_tpu.models import pose_driver as drv
+    from slam_uwv_kalman_filters_tpu.models import pose_fused as pf
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
+
+    state, params, ms = _pose_full_setup(dtype)
+    bstate = bankmod.replicate(state, bank_n)
+    bc = lambda a: jnp.broadcast_to(a, (bank_n, *a.shape))
+    bstate = bstate._replace(rotation_rate=bc(ms["gyro"]))
+    ls = jax.block_until_ready(pf.to_lanes(bstate))
+    del bstate, state
+
+    lat0 = jnp.asarray(params.projection.lat0, dtype)
+    lon0 = jnp.asarray(params.projection.lon0, dtype)
+    gps_in_body = jnp.asarray([0.4, 0.0, -1.0], dtype)
+    xy = jnp.zeros((bank_n, 2), dtype)
+    xy_cov = jnp.eye(2, dtype=dtype) * 2.25
+    z = jnp.zeros((bank_n, 1), dtype)
+    z_cov = jnp.eye(1, dtype=dtype) * 1e-2
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def super_tick(ls):
+        for k in range(FULL_TICKS):
+            ls = pf.predict_lanes(ls, params, 0.01)
+            ls, _ = puf.update_model_lanes("acceleration", ls, bc(ms["acc"]), ms["acc_cov"])
+            if _DVL_AT(k):
+                ls, _ = puf.update_velocity_lanes(ls, params, bc(ms["dvl"]), ms["dvl_cov"])
+            if _SURF_Z_AT(k):
+                ls, _ = puf.update_model_lanes("z_position", ls, z, z_cov)
+            if _SURF_XY_AT(k):
+                ls, _ = puf.update_model_lanes("xy_position", ls, xy, xy_cov)
+            if _SURF_DEL_AT(k):
+                ls, _ = drv.delayed_xy_update_lanes(ls, xy, xy_cov, xy, nb=bank_n)
+            if _SURF_GPS_AT(k):
+                ls, _ = drv.gps_update_lanes(
+                    ls, params, lat0, lon0, xy_cov, gps_in_body, nb=bank_n
+                )
+        return ls
+
+    sync = _make_sync(ls.cov_t)
+    ls = super_tick(ls)  # compile + warm
+    sync(ls.cov_t)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ls = super_tick(ls)
+    sync(ls.cov_t)
+    dt = time.perf_counter() - t0
+    if not bool(jnp.isfinite(ls.mu_t).all()):
+        raise RuntimeError("pose_surface bench diverged: non-finite mean")
+    return bank_n * FULL_TICKS * iters / dt
+
+
 def bench_pose_full_cpu_single(iters=3, repeats=5):
     """Single-instance f64 full-mission second on one CPU core (the
     C++-semantics stand-in): separate jitted phases, applied only on their
@@ -383,6 +449,65 @@ def measure_bank_ate(bank_n: int, minutes: float = 1.0):
         "ate_bank_compile_plus_replay_s": round(compile_and_run + lowered_wall, 1),
         "ate_bank_replay_s": round(replay_wall, 1),
     }
+
+
+def bench_online_latency(bank_n, ticks=400):
+    """Online/latency axis of the north star (VERDICT r3 item 4): per-tick
+    wall latency of the real-time estimator pattern — every tick is a
+    SEPARATE jitted dispatch of the single-launch whole-step kernel
+    (predict + IMU acceleration + DVL chain, ``pose_update_fused.step_lanes``)
+    with host-fresh measurements in and a host readback closing the tick,
+    exactly what a 100 Hz host loop would pay per sample. Returns
+    (p50_ms, p99_ms, compile_s).
+
+    The axon runtime serves repeated identical executions from a cache
+    (docs/TUNING.md), so the measurement chains the carry AND perturbs the
+    measurement host-side every tick."""
+    import jax.numpy as jnp
+
+    from slam_uwv_kalman_filters_tpu.models import pose_fused as pf
+    from slam_uwv_kalman_filters_tpu.models import pose_update_fused as puf
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
+
+    dtype = jnp.float32
+    state, params, ms = _pose_full_setup(dtype)
+    bstate = bankmod.replicate(state, bank_n)
+    bstate = bstate._replace(
+        rotation_rate=jnp.broadcast_to(ms["gyro"], (bank_n, 3))
+    )
+    ls = pf.to_lanes(bstate)
+    acc_b = jnp.broadcast_to(ms["acc"], (bank_n, 3))
+
+    step = jax.jit(
+        lambda ls, z: puf.step_lanes(
+            ls, params, 0.01,
+            [
+                puf.StepUpdate("acceleration", acc_b, ms["acc_cov"]),
+                puf.StepUpdate("velocity", z, ms["dvl_cov"]),
+            ],
+        )[0]
+    )
+    probe = jax.jit(lambda l: l.mu_t.reshape(-1)[0])
+    z0 = np.tile(np.array([0.3, 0.0, 0.0], np.float32), (bank_n, 1))
+
+    t0 = time.perf_counter()
+    ls = step(ls, jnp.asarray(z0))
+    probe(ls).item()
+    compile_s = time.perf_counter() - t0
+
+    lat = []
+    for k in range(ticks):
+        zk = jnp.asarray(z0 + 1e-5 * np.sin(k))  # host-fresh measurement
+        t1 = time.perf_counter()
+        ls = step(ls, zk)
+        probe(ls).item()  # readback closes the tick
+        lat.append(time.perf_counter() - t1)
+    lat_ms = np.asarray(lat) * 1e3
+    return (
+        float(np.percentile(lat_ms, 50)),
+        float(np.percentile(lat_ms, 99)),
+        float(compile_s),
+    )
 
 
 def _build_velocity_step(dtype):
@@ -684,13 +809,15 @@ def main():
     # check flips jax_enable_x64 (the f32 replay must trace with the same
     # config the deployment uses)
     ate = None
+    ate_wall = float("nan")
     if os.environ.get("BENCH_ATE", "1") != "0" and scenario == "pose_full":
         try:
             t0 = time.perf_counter()
             ate, dist = measure_mission_ate("f32")
+            ate_wall = time.perf_counter() - t0
             _log(
                 f"mission ATE (f32, {backend}): {ate:.4f} m over {dist:.0f} m "
-                f"(wall {time.perf_counter()-t0:.1f}s)"
+                f"(wall {ate_wall:.1f}s)"
             )
         except Exception as e:
             _log(f"ATE replay failed: {e}")
@@ -703,6 +830,7 @@ def main():
         except Exception as e:
             _log(f"fleet ATE replay failed: {e}")
 
+    extra_scenarios = {}
     if scenario == "pose_full":
         # lanes-persistent steady-state loop by default on the TPU f32 path
         # (BENCH_POSE_PATH=bank forces the public bank-API chain — the
@@ -723,6 +851,52 @@ def main():
         metric = "pose_full_mission_ticks_per_sec_per_chip"
         unit = "mission-ticks/s"
         live_baseline_fn = bench_pose_full_cpu_single
+
+        # ---- one artifact, every scenario (VERDICT r3 items 6+8) ----------
+        if use_lanes and os.environ.get("BENCH_SURFACE", "1") != "0":
+            try:
+                t0 = time.perf_counter()
+                v_surf = bench_pose_surface_tpu_lanes(bank_n, iters, dtype)
+                _log(f"surface transit: {v_surf:.0f} ticks/s "
+                     f"(wall {time.perf_counter()-t0:.1f}s)")
+                extra_scenarios["pose_surface"] = {
+                    "value": round(v_surf, 1), "unit": "mission-ticks/s", "bank": bank_n,
+                }
+            except Exception as e:
+                _log(f"surface scenario failed: {e}")
+        if os.environ.get("BENCH_SMALL", "1") != "0":
+            for sc in ("velocity", "bottom", "indirect"):
+                try:
+                    t0 = time.perf_counter()
+                    sc_bank = 65536
+                    s_state, s_params, s_step = build_step(dtype, sc)
+                    v_sc = bench_tpu_bank(s_state, s_step, sc_bank, 30, dtype)
+                    base_sc = load_canonical_baseline(sc)
+                    _log(f"{sc}: {v_sc:.0f} steps/s "
+                         f"(wall {time.perf_counter()-t0:.1f}s)")
+                    extra_scenarios[sc] = {
+                        "value": round(v_sc, 1),
+                        "unit": "filter-steps/s",
+                        "bank": sc_bank,
+                        "vs_baseline": (
+                            round(v_sc / base_sc, 2) if base_sc else None
+                        ),
+                    }
+                except Exception as e:
+                    _log(f"{sc} scenario failed: {e}")
+        if use_lanes and os.environ.get("BENCH_LATENCY", "1") != "0":
+            try:
+                for nb_l in (1, 128):
+                    p50, p99, compile_s = bench_online_latency(nb_l)
+                    _log(f"online latency bank {nb_l}: p50 {p50:.2f} ms, "
+                         f"p99 {p99:.2f} ms (compile {compile_s:.1f}s)")
+                    extra_scenarios[f"online_bank{nb_l}"] = {
+                        "latency_p50_ms": round(p50, 3),
+                        "latency_p99_ms": round(p99, 3),
+                        "compile_s": round(compile_s, 1),
+                    }
+            except Exception as e:
+                _log(f"latency scenario failed: {e}")
     else:
         state, params, step = build_step(dtype, scenario)
         t0 = time.perf_counter()
@@ -768,8 +942,14 @@ def main():
         out["ate_m"] = round(ate, 4)
         out["ate_dtype"] = "float32"
         out["ate_bound_m"] = 0.10
+        # replay route (self-describing artifact): the lanes bank-of-1 loop
+        # on TPU (measured 9x lower wall, same mission), generic scan on CPU
+        out["ate_path"] = "lanes" if backend == "tpu" else "generic"
+        out["ate_wall_s"] = round(ate_wall, 1)
     if bank_ate is not None:
         out.update(bank_ate)
+    if extra_scenarios:
+        out["scenarios"] = extra_scenarios
     out["bank"] = bank_n
     print(json.dumps(out))
 

@@ -43,6 +43,11 @@ def parse_args(argv=None):
     p.add_argument("--smooth", action="store_true",
                    help="also run the unscented RTS smoother and report smoothed ATE")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--path", choices=["auto", "generic", "lanes"], default="auto",
+                   help="replay route: the generic solo scan, or the "
+                        "lanes-persistent kernel loop as a bank of 1 "
+                        "(auto: lanes on TPU f32 — measured 9x lower "
+                        "compile+replay wall, same mission semantics)")
     return p.parse_args(argv)
 
 
@@ -232,10 +237,30 @@ def main(argv=None):
         dtype=dtype,
     )
 
-    run = jax.jit(pose_driver.run_trajectory)
+    use_lanes = args.path == "lanes" or (
+        args.path == "auto" and backend == "tpu" and dtype == jnp.float32
+    )
     t0 = time.perf_counter()
-    final_state, outs = run(state, params, inputs)
-    jax.block_until_ready(outs)
+    if use_lanes:
+        # lanes-persistent kernel loop as a bank of 1 (pad lanes are free):
+        # identical mission semantics (lanes==bank==solo parity pinned by
+        # tests/test_full_mission.py), ~9x lower compile+replay wall than the
+        # generic solo scan on the remote-compile TPU backend (measured r4:
+        # 25.3 s vs 227.8 s incl. compile; 0.9 s hot)
+        from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
+
+        inputs_b = jax.tree_util.tree_map(lambda x: x[:, None, ...], inputs)
+        bstate = bankmod.replicate(state, 1)
+        run = jax.jit(pose_driver.run_trajectory_bank_lanes)
+        final_state, outs = run(bstate, params, inputs_b)
+        jax.block_until_ready(outs.position)
+        outs = jax.tree_util.tree_map(
+            lambda x: x[:, 0, ...] if x is not None else None, outs
+        )
+    else:
+        run = jax.jit(pose_driver.run_trajectory)
+        final_state, outs = run(state, params, inputs)
+        jax.block_until_ready(outs)
     compile_and_run = time.perf_counter() - t0
 
     smoothed_pos = None

@@ -207,9 +207,11 @@ def run_fleet_mission(
                 banked_ops=banked_ops,
             )
         else:
+            # "auto" routes to the fused bank kernels on TPU f32 and the
+            # generic vmap path elsewhere (CPU CI runs stay kernel-free)
             ls, out = drv.pose_step_bank(
                 ls, params, inp, consts,
-                use_fused="interpret" if interpret else False,
+                use_fused="interpret" if interpret else "auto",
             )
         err = err + jnp.sum((out.position - x["truth"][None, :]) ** 2, axis=-1)
         if has_gps:

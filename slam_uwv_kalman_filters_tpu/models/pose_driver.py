@@ -31,6 +31,8 @@ __all__ = [
     "run_trajectory_bank",
     "pose_step_bank_lanes",
     "run_trajectory_bank_lanes",
+    "gps_update_lanes",
+    "delayed_xy_update_lanes",
     "TickOutput",
 ]
 
@@ -603,23 +605,6 @@ def run_trajectory_bank(
 # ---------------------------------------------------------------------------
 
 
-def _bank_struct(nb: int, dtype):
-    """Structural (ShapeDtypeStruct) bank state — ``from_lanes`` only reads
-    shapes/structure from its ``like`` argument, so the scan never has to
-    keep a real bank-first copy alive."""
-    from . import pose_update_fused as puf
-
-    one = puf._pose_state_like(dtype)
-    mu = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct((nb, *x.shape), dtype), one
-    )
-    return pukf.PoseUKFState(
-        mu=mu,
-        cov=jax.ShapeDtypeStruct((nb, 53, 53), dtype),
-        rotation_rate=jax.ShapeDtypeStruct((nb, 3), dtype),
-    )
-
-
 def _lanes_select(valid, new_ls, old_ls, pad):
     """Masked accept on kernel-layout state: (B,) validity broadcast along
     the trailing lane axis (padding lanes keep their old filler values)."""
@@ -627,6 +612,55 @@ def _lanes_select(valid, new_ls, old_ls, pad):
     return old_ls._replace(
         cov_t=jnp.where(m, new_ls.cov_t, old_ls.cov_t),
         mu_t=jnp.where(m, new_ls.mu_t, old_ls.mu_t),
+    )
+
+
+def gps_update_lanes(
+    ls, params, lat, lon, gps_cov, gps_in_body=None, *, nb, interpret=False
+):
+    """GPS surface fix on kernel-layout state — ``PoseUKF.cpp:567-579``
+    semantics (as ``update_geographic_position_bank``): project each
+    instance's (lat, lon) fix, correct the antenna lever arm with that
+    instance's OWN mean orientation read from the lanes-resident mean, then
+    the χ²-95-gated XY update in-kernel. Returns ``(LanesBankState, info)``
+    (apply through the caller's validity mask)."""
+    from ..ops import geodesy as geo, manifolds as mf, ukf as ukfops
+    from . import pose_update_fused as puf
+
+    dtype = ls.cov_t.dtype
+    lat = jnp.broadcast_to(jnp.asarray(lat, dtype), (nb,))
+    lon = jnp.broadcast_to(jnp.asarray(lon, dtype), (nb,))
+    x, y = geo.world_to_nav(params.projection, lat, lon)
+    projected = jnp.stack(
+        [jnp.broadcast_to(x, (nb,)), jnp.broadcast_to(y, (nb,))], axis=-1
+    ).astype(dtype)
+    if gps_in_body is not None:
+        g = jnp.asarray(gps_in_body, dtype)
+        quat = ls.mu_t[3:7, :nb].T
+        lever = jax.vmap(mf.quat_rotate, in_axes=(0, 0 if g.ndim == 2 else None))(
+            quat, g
+        )
+        projected = projected - lever[:, :2]
+    return puf.update_model_lanes(
+        "xy_position", ls, projected, gps_cov, ukfops.D2P95, interpret=interpret
+    )
+
+
+def delayed_xy_update_lanes(
+    ls, delayed_xy, delayed_cov, delayed_position, *, nb, interpret=False
+):
+    """Active delayed-position fix on kernel-layout state —
+    ``PoseUKF.cpp:514-527``: shift by each instance's (current − delayed)
+    position, then the standard in-kernel XY update."""
+    from . import pose_update_fused as puf
+
+    dtype = ls.cov_t.dtype
+    pos_xy = ls.mu_t[0:2, :nb].T
+    shifted = jnp.asarray(delayed_xy, dtype) + (
+        pos_xy - jnp.asarray(delayed_position, dtype)
+    )
+    return puf.update_model_lanes(
+        "xy_position", ls, shifted, delayed_cov, interpret=interpret
     )
 
 
@@ -652,7 +686,7 @@ def pose_step_bank_lanes(
     per-instance parameters through the kernels' banked-aux lanes. The
     visual-marker stream, whose 59-DOF augmentation has no lanes form,
     round-trips through bank layout on marker ticks."""
-    from ..ops import geodesy as geo, manifolds as mf, ukf as ukfops
+    from ..ops import ukf as ukfops
     from . import pose_fused as pf
     from . import pose_update_fused as puf
 
@@ -694,37 +728,17 @@ def pose_step_bank_lanes(
         ls = _lanes_select(inp.z_valid, new, ls, pad)
     gps_accepted = None
     if inp.gps is not None:
-        # PoseUKF.cpp:567-579 semantics (update_geographic_position_bank):
-        # project each instance's fix, correct the antenna lever arm with
-        # that instance's OWN mean orientation, χ²-95-gated XY update
-        lat = jnp.broadcast_to(jnp.asarray(inp.gps[:, 0], dtype), (nb,))
-        lon = jnp.broadcast_to(jnp.asarray(inp.gps[:, 1], dtype), (nb,))
-        x, y = geo.world_to_nav(params.projection, lat, lon)
-        projected = jnp.stack(
-            [jnp.broadcast_to(x, (nb,)), jnp.broadcast_to(y, (nb,))], axis=-1
-        ).astype(dtype)
         gps_in_body = consts.gps_in_body if consts is not None else None
-        if gps_in_body is not None:
-            g = jnp.asarray(gps_in_body, dtype)
-            quat = ls.mu_t[3:7, :nb].T
-            lever = jax.vmap(mf.quat_rotate, in_axes=(0, 0 if g.ndim == 2 else None))(
-                quat, g
-            )
-            projected = projected - lever[:, :2]
-        new, gps_info = puf.update_model_lanes(
-            "xy_position", ls, projected, inp.gps_cov, ukfops.D2P95, **it
+        new, gps_info = gps_update_lanes(
+            ls, params, inp.gps[:, 0], inp.gps[:, 1], inp.gps_cov, gps_in_body,
+            nb=nb, **it,
         )
         ls = _lanes_select(inp.gps_valid, new, ls, pad)
         gps_accepted = inp.gps_valid & gps_info.accepted
     if inp.delayed_xy is not None:
-        # PoseUKF.cpp:514-527: shift by each instance's (current − delayed)
-        # position, then the standard XY update
-        pos_xy = ls.mu_t[0:2, :nb].T
-        shifted = jnp.asarray(inp.delayed_xy, dtype) + (
-            pos_xy - jnp.asarray(inp.delayed_position, dtype)
-        )
-        new, _ = puf.update_model_lanes(
-            "xy_position", ls, shifted, inp.delayed_xy_cov, **it
+        new, _ = delayed_xy_update_lanes(
+            ls, inp.delayed_xy, inp.delayed_xy_cov, inp.delayed_position,
+            nb=nb, **it,
         )
         ls = _lanes_select(inp.delayed_valid, new, ls, pad)
     marker_nis = None
@@ -735,13 +749,15 @@ def pose_step_bank_lanes(
                 "PoseStepConstants(marker=MarkerSetup(...))"
             )
         ms = consts.marker
-        bstate = pf.from_lanes(ls, _bank_struct(nb, dtype))
-        bstate, m_info = _masked_update(
-            bstate,
-            inp.marker_valid,
-            pukf.update_visual_features_bank,
-            bstate,
-            params,
+        # fused 59-DOF augmentation in VMEM (models/pose_marker_fused.py):
+        # marker ticks stay in kernel layout — no bank round trip, no
+        # per-corner 59×59 Cholesky through XLA (parity pinned by
+        # tests/test_marker_fused.py; round-trip-vs-fused cost measured in
+        # docs/TUNING.md "Marker ticks at fleet scale")
+        from . import pose_marker_fused as pmf
+
+        new, m_info = pmf.update_visual_features_lanes(
+            ls,
             inp.marker_features,
             inp.marker_feature_covs,
             ms.feature_positions,
@@ -751,8 +767,10 @@ def pose_step_bank_lanes(
             ms.camera,
             ms.camera_in_imu_position,
             ms.camera_in_imu_orientation,
+            nb=nb,
+            **it,
         )
-        ls = pf.to_lanes(bstate)
+        ls = _lanes_select(inp.marker_valid, new, ls, pad)
         marker_nis = jnp.where(inp.marker_valid[:, None], m_info.mahalanobis2, 0.0)
 
     mu_b = ls.mu_t[:, :nb]
