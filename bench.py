@@ -462,7 +462,10 @@ def bench_online_latency(bank_n, ticks=400):
 
     The axon runtime serves repeated identical executions from a cache
     (docs/TUNING.md), so the measurement chains the carry AND perturbs the
-    measurement host-side every tick."""
+    measurement host-side every tick. On the remote-tunnel dev backend the
+    figure (~27 ms p50 at bank 1 AND bank 128) is dominated by tunnel
+    dispatch RTT, not device time — the bank-independence is the tell; on a
+    locally-attached chip expect low-single-digit ms."""
     import jax.numpy as jnp
 
     from slam_uwv_kalman_filters_tpu.models import pose_fused as pf
