@@ -710,8 +710,20 @@ def bench_tpu_bank(state, step, bank_n, iters, dtype):
         and jax.default_backend() == "tpu"
         and jnp.dtype(dtype) == jnp.float32
     ):
+        # amortize the remote-tunnel dispatch with an in-program fori_loop
+        # (tools/roofline.py hazard list): the small-filter kernels run
+        # ~1-2 ms/launch, and per-dispatch RTT on this backend drifts into
+        # the tens of ms in long-lived processes — host-loop timing then
+        # measures the tunnel, not the chip (observed 12x on BottomUKF).
+        # XLA cannot fuse across fori_loop iterations, so each is a real
+        # kernel pass; the carry chains so no result is cache-served.
+        inner = int(os.environ.get("BENCH_INNER", "25"))
         to_lanes, lanes_step = lanes
-        jstep = jax.jit(lambda ls: lanes_step(ls, z, r))
+        jstep = jax.jit(
+            lambda ls: jax.lax.fori_loop(
+                0, inner, lambda i, l: lanes_step(l, z, r), ls
+            )
+        )
         ls = to_lanes(bstate)
         sync = _make_sync(ls.cov_t)
         ls = jstep(ls)  # compile + warm
@@ -721,7 +733,7 @@ def bench_tpu_bank(state, step, bank_n, iters, dtype):
             ls = jstep(ls)
         sync(ls.cov_t)
         dt = time.perf_counter() - t0
-        return bank_n * iters / dt
+        return bank_n * iters * inner / dt
 
     banked = getattr(step, "bank_step", None)
 
