@@ -400,6 +400,19 @@ def _pose_predict_body(
             acc = jnp.concatenate([acc[0:1] + wvq, acc[1:]], axis=0)
         cov_ref[nn, nn:53] = acc
 
+    # NOTE — ±-pair folding tried and REVERTED (r4, measured): the flat
+    # (non-orientation) components propagate affinely, so a ± column pair's
+    # deviations are antisymmetric up to f32 roundoff and the reconstruct
+    # could in principle sum only the +half at 2× weight (~40% fewer FMAs on
+    # this phase; measured 1.15× on the full mission tick). But for states
+    # with large absolute offsets (water density ~1025, gravity ~9.8) the
+    # per-point f32 rounding ε reaches ~6e-5·|dev|, and the FULL ± sum
+    # cancels those errors SYMMETRICALLY — the folded flat block becomes
+    # inconsistent with the full-summed orientation-crossing rows at ~1e-4,
+    # the covariance drifts off PSD, and the update kernels' redraw
+    # factorization NaNs mid-mission (first at tick ~40-700 depending on
+    # schedule). The symmetric error structure of the full sum is
+    # load-bearing; see docs/TUNING.md "Kernel experiment log".
     for nn in range(TANGENT_DIM):
         acc = None
         for lo, hi in ((0, 54), (54, NSIG)):
