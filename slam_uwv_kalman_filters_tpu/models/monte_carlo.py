@@ -164,7 +164,7 @@ def run_fleet_mission(
     def tick(carry, x):
         ls, err, g_acc, nis_sum = carry
         k = jax.random.fold_in(key, x["idx"])
-        kg, ka, kd, kp, kx, ky2 = jax.random.split(k, 6)
+        kg, ka, kd, kp, kx = jax.random.split(k, 5)
         noisy = lambda kk, v, s: bc(v) + s * jax.random.normal(
             kk, (nb, *jnp.shape(v)), dtype
         )
@@ -200,7 +200,6 @@ def run_fleet_mission(
             gps_cov=None if not has_gps else bc(spec.gps_cov.astype(dtype)),
             gps_valid=None if not has_gps else bc(x["gps_valid"]),
         )
-        del ky2
         if use_lanes:
             ls, out = drv.pose_step_bank_lanes(
                 ls, params, inp, consts, nb=nb, interpret=interpret,
