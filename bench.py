@@ -438,11 +438,25 @@ def measure_bank_ate(bank_n: int, minutes: float = 1.0):
     replay_wall = time.perf_counter() - t2
     if not np.all(np.isfinite(ate)):
         raise RuntimeError("bank ATE replay diverged: non-finite ATE")
+    # noise-floor companion: the SAME fleet with exact initial estimates and
+    # shared params — the distribution over pure sensor-noise realizations
+    # (shapes match, so this reuses the compiled executable) — separates
+    # what the mission's information content allows (p50 ≈ 0.07 m) from the
+    # initial-scatter transient the headline distribution includes
+    bstate0 = bankmod.replicate(state, bank_n)
+    res_nf = jax.jit(
+        lambda bs: mc.run_fleet_mission(
+            bs, params, spec, jax.random.PRNGKey(42), path=path
+        )
+    )(bstate0)
+    ate_nf = np.asarray(jax.device_get(res_nf.ate))
     return {
         "ate_bank_n": bank_n,
         "ate_bank_p50": round(float(np.percentile(ate, 50)), 4),
         "ate_bank_p95": round(float(np.percentile(ate, 95)), 4),
         "ate_bank_max": round(float(ate.max()), 4),
+        "ate_noise_floor_p50": round(float(np.percentile(ate_nf, 50)), 4),
+        "ate_noise_floor_max": round(float(ate_nf.max()), 4),
         "gate_accept_min": round(float(gacc.min()), 4),
         "gate_accept_mean": round(float(gacc.mean()), 4),
         "ate_bank_path": path,
