@@ -407,19 +407,8 @@ def measure_bank_ate(bank_n: int, minutes: float = 1.0):
     bstate = mc.perturb_initial_bank(
         bstate, jax.random.PRNGKey(7), pos_sigma=0.05, vel_sigma=0.05, yaw_sigma=3e-3
     )
-    rng = np.random.default_rng(5)
-    scales = jnp.asarray(
-        1.0 + 0.2 * rng.standard_normal(bank_n).clip(-0.9, 0.9), dtype
-    )
-    bparams = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (bank_n, *jnp.shape(x))), params
-    )
-    bparams = bparams._replace(
-        process_noise=bparams.process_noise * scales[:, None, None],
-        water_velocity_scale=bparams.water_velocity_scale * scales,
-        atmospheric_pressure=bparams.atmospheric_pressure
-        + jnp.asarray(rng.normal(scale=100.0, size=bank_n), dtype),
-    )
+    # the SAME banked parameter draw the calibrating test asserts bounds on
+    bparams = icra18_mission.monte_carlo_params(params, bank_n, dtype)
     path = "lanes" if jax.default_backend() == "tpu" else "bank"
     run = jax.jit(
         lambda bs: mc.run_fleet_mission(
@@ -439,14 +428,18 @@ def measure_bank_ate(bank_n: int, minutes: float = 1.0):
     if not np.all(np.isfinite(ate)):
         raise RuntimeError("bank ATE replay diverged: non-finite ATE")
     # noise-floor companion: the SAME fleet with exact initial estimates and
-    # shared params — the distribution over pure sensor-noise realizations
-    # (shapes match, so this reuses the compiled executable) — separates
+    # an unperturbed (but still banked, so the jaxpr — and therefore the
+    # persistent-compile-cache entry — matches the headline run) parameter
+    # set: the distribution over pure sensor-noise realizations, separating
     # what the mission's information content allows (p50 ≈ 0.07 m) from the
     # initial-scatter transient the headline distribution includes
     bstate0 = bankmod.replicate(state, bank_n)
+    bparams0 = icra18_mission.monte_carlo_params(
+        params, bank_n, dtype, scale_sigma=0.0, p_atm_sigma=0.0
+    )
     res_nf = jax.jit(
         lambda bs: mc.run_fleet_mission(
-            bs, params, spec, jax.random.PRNGKey(42), path=path
+            bs, bparams0, spec, jax.random.PRNGKey(42), path=path
         )
     )(bstate0)
     ate_nf = np.asarray(jax.device_get(res_nf.ate))
@@ -851,7 +844,12 @@ def main():
         except Exception as e:
             _log(f"ATE replay failed: {e}")
     bank_ate = None
-    bank_ate_n = int(os.environ.get("BENCH_BANK_ATE", "1024"))
+    # default ON only where it belongs: a 1024-instance, 6000-tick fleet
+    # replay (twice, with the noise-floor companion) is a seconds-scale TPU
+    # job but an hours-scale generic-path CPU job
+    bank_ate_n = int(
+        os.environ.get("BENCH_BANK_ATE", "1024" if backend == "tpu" else "0")
+    )
     if bank_ate_n > 0 and scenario == "pose_full":
         try:
             bank_ate = measure_bank_ate(bank_ate_n)
@@ -893,7 +891,8 @@ def main():
                 }
             except Exception as e:
                 _log(f"surface scenario failed: {e}")
-        if os.environ.get("BENCH_SMALL", "1") != "0":
+        small_default = "1" if jax.default_backend() == "tpu" else "0"
+        if os.environ.get("BENCH_SMALL", small_default) != "0":
             for sc in ("velocity", "bottom", "indirect"):
                 try:
                     t0 = time.perf_counter()

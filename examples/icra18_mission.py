@@ -176,6 +176,31 @@ def build_fleet_setup(minutes=1.0, rate=100.0, dtype_name="f32", seed=0):
     return state, params, spec
 
 
+def monte_carlo_params(params, n, dtype, seed=5, scale_sigma=0.2, p_atm_sigma=100.0):
+    """Banked Monte-Carlo parameter draw of the fleet accuracy artifact —
+    shared by ``bench.measure_bank_ate`` and its calibrating test
+    (``tests/test_fleet_ate.py``) so the artifact and the asserted bounds
+    measure the SAME fleet by construction: ±``scale_sigma`` process-noise /
+    water-velocity-scale factors and a ±``p_atm_sigma`` Pa atmospheric-
+    pressure offset per instance, every leaf banked."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    scales = jnp.asarray(
+        1.0 + scale_sigma * rng.standard_normal(n).clip(-0.9, 0.9), dtype
+    )
+    bp = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n, *jnp.shape(x))), params
+    )
+    return bp._replace(
+        process_noise=bp.process_noise * scales[:, None, None],
+        water_velocity_scale=bp.water_velocity_scale * scales,
+        atmospheric_pressure=bp.atmospheric_pressure
+        + jnp.asarray(rng.normal(scale=p_atm_sigma, size=n), dtype),
+    )
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.cpu:
@@ -251,8 +276,13 @@ def main(argv=None):
 
         inputs_b = jax.tree_util.tree_map(lambda x: x[:, None, ...], inputs)
         bstate = bankmod.replicate(state, 1)
-        run = jax.jit(pose_driver.run_trajectory_bank_lanes)
-        final_state, outs = run(bstate, params, inputs_b)
+        interp = backend != "tpu"  # exact kernels via the Pallas interpreter
+        run = jax.jit(
+            lambda bs, ii: pose_driver.run_trajectory_bank_lanes(
+                bs, params, ii, interpret=interp
+            )
+        )
+        final_state, outs = run(bstate, inputs_b)
         jax.block_until_ready(outs.position)
         outs = jax.tree_util.tree_map(
             lambda x: x[:, 0, ...] if x is not None else None, outs

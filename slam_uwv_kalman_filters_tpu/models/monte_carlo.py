@@ -180,16 +180,19 @@ def run_fleet_mission(
             pressure=noisy(kp, x["pressure"], spec.pressure_sigma),
             pressure_cov=bc(spec.pressure_cov.astype(dtype)),
             pressure_valid=bc(x["pressure_valid"]),
-            xy=jnp.zeros((nb, 2), dtype),
-            xy_cov=bc(jnp.eye(2, dtype=dtype)),
-            xy_valid=jnp.zeros((nb,), bool),
-            adcp=jnp.zeros((nb, 2), dtype),
-            adcp_cov=bc(jnp.eye(2, dtype=dtype)),
-            adcp_cell_weighting=jnp.zeros((nb,), dtype),
-            adcp_valid=jnp.zeros((nb,), bool),
-            efforts=jnp.zeros((nb, 6), dtype),
-            efforts_cov=bc(jnp.eye(6, dtype=dtype)),
-            efforts_valid=jnp.zeros((nb,), bool),
+            # the schedule carries no XY/ADCP/efforts sensors at all — None
+            # keeps their update phases out of the trace entirely (3 fewer
+            # launches per tick than an all-invalid masked schedule)
+            xy=None,
+            xy_cov=None,
+            xy_valid=None,
+            adcp=None,
+            adcp_cov=None,
+            adcp_cell_weighting=None,
+            adcp_valid=None,
+            efforts=None,
+            efforts_cov=None,
+            efforts_valid=None,
             gps=(
                 None
                 if not has_gps

@@ -16,6 +16,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..parallel.bank import select_where
 from . import pose_ukf as pukf
@@ -64,29 +65,36 @@ class PoseStepConstants(NamedTuple):
 class PoseInputs(NamedTuple):
     """One tick of the packed sensor schedule (leading time axis when used
     with :func:`run_trajectory`). ``*_valid`` flags express the multi-rate /
-    dropout structure (e.g. 100 Hz IMU, 5 Hz DVL, 1 Hz pressure)."""
+    dropout structure (e.g. 100 Hz IMU, 5 Hz DVL, 1 Hz pressure).
+
+    Any sensor group may be ``None`` when the mission carries no such sensor
+    at all — its update phase is then not even traced (None leaves are empty
+    pytree nodes, so scan/vmap treat lean and full schedules uniformly;
+    presence is static per compilation). :func:`make_inputs` keeps the
+    classic always-on streams dense by default and the event-rate streams
+    ``None`` when omitted."""
 
     dt: jax.Array  # () prediction interval
     rotation_rate: jax.Array  # (3,) gyro input (always present — drives predict)
-    acc: jax.Array  # (3,)
-    acc_cov: jax.Array  # (3,3)
-    acc_valid: jax.Array  # () bool
-    dvl: jax.Array  # (3,)
-    dvl_cov: jax.Array  # (3,3)
-    dvl_valid: jax.Array  # () bool
-    pressure: jax.Array  # (1,)
-    pressure_cov: jax.Array  # (1,1)
-    pressure_valid: jax.Array  # () bool
-    xy: jax.Array  # (2,)
-    xy_cov: jax.Array  # (2,2)
-    xy_valid: jax.Array  # () bool
-    adcp: jax.Array  # (2,)
-    adcp_cov: jax.Array  # (2,2)
-    adcp_cell_weighting: jax.Array  # ()
-    adcp_valid: jax.Array  # () bool
-    efforts: jax.Array  # (6,)
-    efforts_cov: jax.Array  # (6,6)
-    efforts_valid: jax.Array  # () bool
+    acc: Optional[jax.Array]  # (3,)
+    acc_cov: Optional[jax.Array]  # (3,3)
+    acc_valid: Optional[jax.Array]  # () bool
+    dvl: Optional[jax.Array]  # (3,)
+    dvl_cov: Optional[jax.Array]  # (3,3)
+    dvl_valid: Optional[jax.Array]  # () bool
+    pressure: Optional[jax.Array]  # (1,)
+    pressure_cov: Optional[jax.Array]  # (1,1)
+    pressure_valid: Optional[jax.Array]  # () bool
+    xy: Optional[jax.Array]  # (2,)
+    xy_cov: Optional[jax.Array]  # (2,2)
+    xy_valid: Optional[jax.Array]  # () bool
+    adcp: Optional[jax.Array]  # (2,)
+    adcp_cov: Optional[jax.Array]  # (2,2)
+    adcp_cell_weighting: Optional[jax.Array]  # ()
+    adcp_valid: Optional[jax.Array]  # () bool
+    efforts: Optional[jax.Array]  # (6,)
+    efforts_cov: Optional[jax.Array]  # (6,6)
+    efforts_valid: Optional[jax.Array]  # () bool
     # Optional streams (None when the mission has no such sensor — None leaves
     # are empty pytree nodes, so scan/vmap treat a lean schedule and a full
     # ICRA'18 schedule uniformly; presence is static per compilation):
@@ -296,43 +304,51 @@ def pose_step(
     state = pukf.integrate_rotation_rate(state, inp.rotation_rate)
     state = pukf.predict(state, params, inp.dt)
 
-    state, _ = _masked_update(
-        state, inp.acc_valid, pukf.update_acceleration, state, params, inp.acc, inp.acc_cov
-    )
-    state, dvl_info = _masked_update(
-        state, inp.dvl_valid, pukf.update_velocity, state, params, inp.dvl, inp.dvl_cov
-    )
-    state, _ = _masked_update(
-        state,
-        inp.pressure_valid,
-        pukf.update_pressure,
-        state,
-        params,
-        inp.pressure,
-        inp.pressure_cov,
-    )
-    state, _ = _masked_update(
-        state, inp.xy_valid, pukf.update_xy_position, state, params, inp.xy, inp.xy_cov
-    )
-    state, adcp_info = _masked_update(
-        state,
-        inp.adcp_valid,
-        pukf.update_water_velocity,
-        state,
-        params,
-        inp.adcp,
-        inp.adcp_cov,
-        inp.adcp_cell_weighting,
-    )
-    state, _ = _masked_update(
-        state,
-        inp.efforts_valid,
-        pukf.update_body_efforts,
-        state,
-        params,
-        inp.efforts,
-        inp.efforts_cov,
-    )
+    if inp.acc is not None:
+        state, _ = _masked_update(
+            state, inp.acc_valid, pukf.update_acceleration, state, params, inp.acc, inp.acc_cov
+        )
+    dvl_info = None
+    if inp.dvl is not None:
+        state, dvl_info = _masked_update(
+            state, inp.dvl_valid, pukf.update_velocity, state, params, inp.dvl, inp.dvl_cov
+        )
+    if inp.pressure is not None:
+        state, _ = _masked_update(
+            state,
+            inp.pressure_valid,
+            pukf.update_pressure,
+            state,
+            params,
+            inp.pressure,
+            inp.pressure_cov,
+        )
+    if inp.xy is not None:
+        state, _ = _masked_update(
+            state, inp.xy_valid, pukf.update_xy_position, state, params, inp.xy, inp.xy_cov
+        )
+    adcp_info = None
+    if inp.adcp is not None:
+        state, adcp_info = _masked_update(
+            state,
+            inp.adcp_valid,
+            pukf.update_water_velocity,
+            state,
+            params,
+            inp.adcp,
+            inp.adcp_cov,
+            inp.adcp_cell_weighting,
+        )
+    if inp.efforts is not None:
+        state, _ = _masked_update(
+            state,
+            inp.efforts_valid,
+            pukf.update_body_efforts,
+            state,
+            params,
+            inp.efforts,
+            inp.efforts_cov,
+        )
 
     if inp.z is not None:
         state, _ = _masked_update(
@@ -390,13 +406,22 @@ def pose_step(
         )
         marker_nis = jnp.where(inp.marker_valid, m_info.mahalanobis2, 0.0)
 
+    zero = jnp.zeros_like(inp.dt)
     out = TickOutput(
         position=state.mu.position,
         orientation=state.mu.orientation,
         velocity=state.mu.velocity,
         cov_trace=jnp.trace(state.cov),
-        dvl_nis=jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0),
-        adcp_accepted=inp.adcp_valid & adcp_info.accepted,
+        dvl_nis=(
+            jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0)
+            if dvl_info is not None
+            else zero
+        ),
+        adcp_accepted=(
+            inp.adcp_valid & adcp_info.accepted
+            if adcp_info is not None
+            else zero.astype(bool)
+        ),
         gps_accepted=gps_accepted,
         marker_nis=marker_nis,
     )
@@ -437,73 +462,81 @@ def pose_step_bank(
     bstate = bstate._replace(rotation_rate=inp.rotation_rate)
     bstate = pukf.predict_bank(bstate, params, inp.dt[0], **fu)
 
-    bstate, _ = _masked_update(
-        bstate,
-        inp.acc_valid,
-        partial(pukf.update_acceleration_bank, **fu),
-        bstate,
-        params,
-        inp.acc,
-        inp.acc_cov,
-    )
-    bstate, dvl_info = _masked_update(
-        bstate,
-        inp.dvl_valid,
-        partial(pukf.update_velocity_bank, **fu),
-        bstate,
-        params,
-        inp.dvl,
-        inp.dvl_cov,
-    )
+    if inp.acc is not None:
+        bstate, _ = _masked_update(
+            bstate,
+            inp.acc_valid,
+            partial(pukf.update_acceleration_bank, **fu),
+            bstate,
+            params,
+            inp.acc,
+            inp.acc_cov,
+        )
+    dvl_info = None
+    if inp.dvl is not None:
+        bstate, dvl_info = _masked_update(
+            bstate,
+            inp.dvl_valid,
+            partial(pukf.update_velocity_bank, **fu),
+            bstate,
+            params,
+            inp.dvl,
+            inp.dvl_cov,
+        )
     # the pressure model reads params.atmospheric_pressure; the bank entry
     # handles banked values itself (fused banked-aux lanes on TPU, a
     # per-instance vmap elsewhere), so sweeps stay on the fused route
-    bstate, _ = _masked_update(
-        bstate,
-        inp.pressure_valid,
-        partial(pukf.update_pressure_bank, **fu),
-        bstate,
-        params,
-        inp.pressure,
-        inp.pressure_cov,
-    )
-    bstate, _ = _masked_update(
-        bstate,
-        inp.xy_valid,
-        partial(pukf.update_xy_position_bank, **fu),
-        bstate,
-        params,
-        inp.xy,
-        inp.xy_cov,
-    )
-    bstate, adcp_info = _masked_update(
-        bstate,
-        inp.adcp_valid,
-        partial(pukf.update_water_velocity_bank, **fu),
-        bstate,
-        params,
-        inp.adcp,
-        inp.adcp_cov,
-        inp.adcp_cell_weighting,
-    )
+    if inp.pressure is not None:
+        bstate, _ = _masked_update(
+            bstate,
+            inp.pressure_valid,
+            partial(pukf.update_pressure_bank, **fu),
+            bstate,
+            params,
+            inp.pressure,
+            inp.pressure_cov,
+        )
+    if inp.xy is not None:
+        bstate, _ = _masked_update(
+            bstate,
+            inp.xy_valid,
+            partial(pukf.update_xy_position_bank, **fu),
+            bstate,
+            params,
+            inp.xy,
+            inp.xy_cov,
+        )
+    adcp_info = None
+    if inp.adcp is not None:
+        bstate, adcp_info = _masked_update(
+            bstate,
+            inp.adcp_valid,
+            partial(pukf.update_water_velocity_bank, **fu),
+            bstate,
+            params,
+            inp.adcp,
+            inp.adcp_cov,
+            inp.adcp_cell_weighting,
+        )
     # body efforts need each instance's compensated body rate: shared params
     # ride the banked entry (fused tail on TPU — the per-instance rates go
     # through the measurement stage's aux lanes); a banked (Monte-Carlo
     # sweep) parameter set must be vmapped alongside the state instead of
     # closed over as (B,...)-constants
-    if banked:
+    if inp.efforts is not None:
+        if banked:
 
-        def _efforts_one(s, p, z, r):
-            s2, _ = pukf.update_body_efforts(s, p, z, r)
-            return s2
+            def _efforts_one(s, p, z, r):
+                s2, _ = pukf.update_body_efforts(s, p, z, r)
+                return s2
 
-        eff_state = jax.vmap(_efforts_one)(bstate, params, inp.efforts, inp.efforts_cov)
-    else:
-        rr_bank = pukf.get_rotation_rate_bank(bstate, params)
-        eff_state, _ = pukf.update_body_efforts_bank(
-            bstate, params, inp.efforts, inp.efforts_cov, rr_bank, **fu
-        )
-    bstate = select_where(inp.efforts_valid, eff_state, bstate)
+            eff_state = jax.vmap(_efforts_one)(bstate, params, inp.efforts, inp.efforts_cov)
+        else:
+            rr_bank = pukf.get_rotation_rate_bank(bstate, params)
+            eff_state, _ = pukf.update_body_efforts_bank(
+                bstate, params, inp.efforts, inp.efforts_cov, rr_bank, **fu
+            )
+        bstate = select_where(inp.efforts_valid, eff_state, bstate)
 
     if inp.z is not None:
         bstate, _ = _masked_update(
@@ -567,13 +600,22 @@ def pose_step_bank(
         )
         marker_nis = jnp.where(inp.marker_valid[:, None], m_info.mahalanobis2, 0.0)
 
+    zero = jnp.zeros_like(inp.dt)
     out = TickOutput(
         position=bstate.mu.position,
         orientation=bstate.mu.orientation,
         velocity=bstate.mu.velocity,
         cov_trace=jnp.trace(bstate.cov, axis1=-2, axis2=-1),
-        dvl_nis=jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0),
-        adcp_accepted=inp.adcp_valid & adcp_info.accepted,
+        dvl_nis=(
+            jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0)
+            if dvl_info is not None
+            else zero
+        ),
+        adcp_accepted=(
+            inp.adcp_valid & adcp_info.accepted
+            if adcp_info is not None
+            else zero.astype(bool)
+        ),
         gps_accepted=gps_accepted,
         marker_nis=marker_nis,
     )
@@ -682,10 +724,14 @@ def pose_step_bank_lanes(
     full mission tick, docs/TUNING.md "Roofline"). Banked (Monte-Carlo
     sweep) parameter sets are supported: pass the pre-built
     ``pose_fused.banked_predict_operands`` via ``banked_ops`` (the fully-
-    banked predict kernel mode), and the pressure/efforts models route their
-    per-instance parameters through the kernels' banked-aux lanes. The
-    visual-marker stream, whose 59-DOF augmentation has no lanes form,
-    round-trips through bank layout on marker ticks."""
+    banked predict kernel mode); the pressure model routes its per-instance
+    ``atmospheric_pressure`` through the kernel's banked-aux lanes, while
+    banked dynamic-model parameters send the efforts update through the
+    generic fused-tail pipeline (per-instance model in the measurement
+    stage's aux pytree — see ``update_body_efforts_lanes``). Sensor groups
+    the mission lacks entirely should be ``None`` in ``inp`` so their
+    update phases are never traced. Marker ticks run the fused 59-DOF
+    augmentation kernel (``models/pose_marker_fused.py``)."""
     from ..ops import ukf as ukfops
     from . import pose_fused as pf
     from . import pose_update_fused as puf
@@ -697,31 +743,41 @@ def pose_step_bank_lanes(
     ls = pf.set_rotation_rate_lanes(lstate, inp.rotation_rate)
     ls = pf.predict_lanes(ls, params, inp.dt[0], banked_ops=banked_ops, **it)
 
-    new, _ = puf.update_model_lanes("acceleration", ls, inp.acc, inp.acc_cov, **it)
-    ls = _lanes_select(inp.acc_valid, new, ls, pad)
-    new, dvl_info = puf.update_velocity_lanes(ls, params, inp.dvl, inp.dvl_cov, **it)
-    ls = _lanes_select(inp.dvl_valid, new, ls, pad)
-    if jnp.ndim(params.atmospheric_pressure) >= 1:
-        # banked p_atm (Monte-Carlo sweep) rides the per-instance aux lanes
-        new, _ = puf.update_model_lanes(
-            "pressure", ls, inp.pressure, inp.pressure_cov,
-            aux_bank=jnp.asarray(params.atmospheric_pressure, dtype)[:, None], **it,
+    if inp.acc is not None:
+        new, _ = puf.update_model_lanes("acceleration", ls, inp.acc, inp.acc_cov, **it)
+        ls = _lanes_select(inp.acc_valid, new, ls, pad)
+    dvl_info = None
+    if inp.dvl is not None:
+        new, dvl_info = puf.update_velocity_lanes(ls, params, inp.dvl, inp.dvl_cov, **it)
+        ls = _lanes_select(inp.dvl_valid, new, ls, pad)
+    if inp.pressure is not None:
+        if jnp.ndim(params.atmospheric_pressure) >= 1:
+            # banked p_atm (Monte-Carlo sweep) rides the per-instance aux lanes
+            new, _ = puf.update_model_lanes(
+                "pressure", ls, inp.pressure, inp.pressure_cov,
+                aux_bank=jnp.asarray(params.atmospheric_pressure, dtype)[:, None], **it,
+            )
+        else:
+            new, _ = puf.update_model_lanes(
+                "pressure", ls, inp.pressure, inp.pressure_cov,
+                aux=(params.atmospheric_pressure, 0.0, 0.0, 0.0), **it,
+            )
+        ls = _lanes_select(inp.pressure_valid, new, ls, pad)
+    if inp.xy is not None:
+        new, _ = puf.update_model_lanes("xy_position", ls, inp.xy, inp.xy_cov, **it)
+        ls = _lanes_select(inp.xy_valid, new, ls, pad)
+    adcp_info = None
+    if inp.adcp is not None:
+        new, adcp_info = puf.update_model_lanes(
+            "water_velocity", ls, inp.adcp, inp.adcp_cov, ukfops.D2P95,
+            aux_bank=inp.adcp_cell_weighting[:, None], **it,
         )
-    else:
-        new, _ = puf.update_model_lanes(
-            "pressure", ls, inp.pressure, inp.pressure_cov,
-            aux=(params.atmospheric_pressure, 0.0, 0.0, 0.0), **it,
+        ls = _lanes_select(inp.adcp_valid, new, ls, pad)
+    if inp.efforts is not None:
+        new, _ = puf.update_body_efforts_lanes(
+            ls, params, inp.efforts, inp.efforts_cov, **it
         )
-    ls = _lanes_select(inp.pressure_valid, new, ls, pad)
-    new, _ = puf.update_model_lanes("xy_position", ls, inp.xy, inp.xy_cov, **it)
-    ls = _lanes_select(inp.xy_valid, new, ls, pad)
-    new, adcp_info = puf.update_model_lanes(
-        "water_velocity", ls, inp.adcp, inp.adcp_cov, ukfops.D2P95,
-        aux_bank=inp.adcp_cell_weighting[:, None], **it,
-    )
-    ls = _lanes_select(inp.adcp_valid, new, ls, pad)
-    new, _ = puf.update_body_efforts_lanes(ls, params, inp.efforts, inp.efforts_cov, **it)
-    ls = _lanes_select(inp.efforts_valid, new, ls, pad)
+        ls = _lanes_select(inp.efforts_valid, new, ls, pad)
 
     if inp.z is not None:
         new, _ = puf.update_model_lanes("z_position", ls, inp.z, inp.z_cov, **it)
@@ -777,13 +833,22 @@ def pose_step_bank_lanes(
     # one diagonal gather (valid in the lower-triangle-valid layout — the
     # diagonal belongs to the half the kernels write) instead of 53 slices
     cov_trace = jnp.diagonal(ls.cov_t, axis1=0, axis2=1).sum(axis=-1)[:nb]
+    zero = jnp.zeros_like(inp.dt)
     out = TickOutput(
         position=mu_b[0:3].T,
         orientation=mu_b[3:7].T,
         velocity=mu_b[7:10].T,
         cov_trace=cov_trace,
-        dvl_nis=jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0),
-        adcp_accepted=inp.adcp_valid & adcp_info.accepted,
+        dvl_nis=(
+            jnp.where(inp.dvl_valid, dvl_info.mahalanobis2, 0.0)
+            if dvl_info is not None
+            else zero
+        ),
+        adcp_accepted=(
+            inp.adcp_valid & adcp_info.accepted
+            if adcp_info is not None
+            else zero.astype(bool)
+        ),
         gps_accepted=gps_accepted,
         marker_nis=marker_nis,
     )
@@ -817,6 +882,21 @@ def run_trajectory_bank_lanes(
     ls0 = pf.to_lanes(bstate)
     banked_ops = None
     if params.process_noise.ndim == 3:
+        # the banked operands bake the prediction interval once — a
+        # variable-dt schedule would silently use tick-0's Q/decay scaling,
+        # so reject it loudly whenever dt is inspectable (outside jit; under
+        # jit the tracer can't be checked — the docstring requirement and
+        # this eager-path guard are the contract)
+        if not isinstance(inputs.dt, jax.core.Tracer):
+            dt_vals = np.asarray(inputs.dt)
+            if dt_vals.size and not np.all(dt_vals == dt_vals.flat[0]):
+                raise ValueError(
+                    "run_trajectory_bank_lanes with banked parameters "
+                    "requires a constant prediction interval (the banked "
+                    "predict operands bake dt once); this schedule's dt "
+                    f"varies over [{dt_vals.min()}, {dt_vals.max()}] — use "
+                    "run_trajectory_bank for variable-dt banked replays"
+                )
         dt0 = inputs.dt[(0,) * inputs.dt.ndim]  # scalar tick-0 interval
         banked_ops = pf.banked_predict_operands(
             params, dt0, bstate.cov.dtype, ls0.cov_t.shape[-1]

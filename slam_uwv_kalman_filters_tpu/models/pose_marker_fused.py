@@ -43,7 +43,7 @@ from ..ops import kernels, ukf
 from ..ops.kernels import LANE_TILE, equilibrated_sigma_columns
 from .bottom_fused import _s2_basis, _s2_boxminus, _s2_karcher_mean
 from .pose_fused import STORAGE_DIM, TANGENT_DIM, _qexp, _qmul, _qnorm4
-from .pose_update_fused import _ColDeltas, _ZeroDeltas
+from .pose_update_fused import _ColDeltas, _ZeroDeltas, _rot_fwd, _rot_inv
 
 __all__ = ["update_visual_features_lanes", "AUG_TANGENT", "AUG_NSIG"]
 
@@ -51,24 +51,6 @@ AUG_TANGENT = TANGENT_DIM + 6  # 59
 AUG_STORAGE = STORAGE_DIM + 7  # 61 (marker position 3 + marker quaternion 4)
 AUG_NSIG = 2 * AUG_TANGENT + 1  # 119
 
-
-def _rot_fwd(q, v):
-    """R(q)·v componentwise Rodrigues (unit q; tuples broadcast over (r, B))."""
-    qw, qx, qy, qz = q
-    vx, vy, vz = v
-    tx = 2.0 * (qy * vz - qz * vy)
-    ty = 2.0 * (qz * vx - qx * vz)
-    tz = 2.0 * (qx * vy - qy * vx)
-    return (
-        vx + qw * tx + (qy * tz - qz * ty),
-        vy + qw * ty + (qz * tx - qx * tz),
-        vz + qw * tz + (qx * ty - qy * tx),
-    )
-
-
-def _rot_inv(q, v):
-    """R(q)⁻¹·v (conjugated vector part)."""
-    return _rot_fwd((q[0], -q[1], -q[2], -q[3]), v)
 
 
 def _marker_bearing(mu, y, fp, cam_p, cam_q):
@@ -153,7 +135,6 @@ def _make_marker_kernel(k: int):
         mua_ref[0:STORAGE_DIM] = mu_ref[:]
         mua_ref[STORAGE_DIM:] = mk_ref[:]
 
-        inv_n = 1.0 / AUG_NSIG
         for c in range(k):
             fp = (s(43 + 3 * c), s(44 + 3 * c), s(45 + 3 * c))
             dvec = equilibrated_sigma_columns(a_ref, c_ref, None, keep_columns=True)
@@ -312,6 +293,10 @@ def update_visual_features_lanes(
     if feats.ndim == 2:
         feats = jnp.broadcast_to(feats[None], (nb, *feats.shape))
     k = feats.shape[1]
+    if k == 0:
+        # the generic path's loud guard, kept here too — an empty feature
+        # array would otherwise reach pallas_call with zero-sized blocks
+        raise ValueError("update_visual_features_lanes needs at least one feature")
     if feature_positions.shape[0] != k or jnp.asarray(feature_covs).shape[-3] != k:
         raise ValueError(
             f"{k} marker_features but {feature_positions.shape[0]} "
