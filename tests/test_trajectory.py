@@ -355,3 +355,76 @@ def test_pose_step_bank_banked_params():
     )
     # the sweep axis actually differentiates the instances
     assert not np.allclose(np.asarray(out_bank.cov[0]), np.asarray(out_bank.cov[2]))
+
+
+def test_absent_sensor_groups_match_all_invalid_masks():
+    """A schedule whose sensor groups are None (absent — their update phases
+    are not even traced) must produce exactly the state a dense schedule with
+    all-invalid validity masks produces: absence and never-valid are the same
+    semantics, absence is just cheaper (r4 optional-stream driver API)."""
+    import jax
+
+    from slam_uwv_kalman_filters_tpu.models import pose_driver as drv
+
+    T = 6
+    dtype = jnp.float64
+    state, params = pukf.init_from_pose(
+        imu_in_nwu_pos=jnp.zeros(3, dtype),
+        imu_in_nwu_pos_cov=jnp.eye(3, dtype=dtype) * 0.01,
+        imu_in_nwu_rot=jnp.array([1.0, 0, 0, 0], dtype),
+        imu_in_nwu_rot_cov=jnp.eye(3, dtype=dtype) * 1e-4,
+        config=CFG,
+        model_parameters=dyn.default_uwv_parameters(dtype=dtype),
+        imu_delta_t=0.05,
+        dtype=dtype,
+    )
+    rng = np.random.default_rng(17)
+    gyro = rng.normal(scale=0.02, size=(T, 3))
+    acc = rng.normal(scale=0.05, size=(T, 3)) + np.array([0, 0, 9.81])
+    dvl = rng.normal(scale=0.2, size=(T, 3))
+
+    dense = drv.make_inputs(
+        T, 0.05, gyro,
+        acc=acc, acc_cov=np.eye(3) * 4e-5,
+        dvl=dvl, dvl_cov=np.eye(3) * 1e-3, dvl_valid=rng.random(T) < 0.7,
+        # xy/adcp/pressure/efforts present but never valid
+        pressure=np.full((T, 1), 101325.0), pressure_valid=np.zeros(T, bool),
+        xy=rng.normal(size=(T, 2)), xy_valid=np.zeros(T, bool),
+        adcp=rng.normal(scale=0.05, size=(T, 2)), adcp_valid=np.zeros(T, bool),
+        efforts=rng.normal(size=(T, 6)), efforts_valid=np.zeros(T, bool),
+        dtype=dtype,
+    )
+    lean = dense._replace(
+        pressure=None, pressure_cov=None, pressure_valid=None,
+        xy=None, xy_cov=None, xy_valid=None,
+        adcp=None, adcp_cov=None, adcp_cell_weighting=None, adcp_valid=None,
+        efforts=None, efforts_cov=None, efforts_valid=None,
+    )
+
+    fs_d, out_d = drv.run_trajectory(state, params, dense)
+    fs_l, out_l = drv.run_trajectory(state, params, lean)
+    np.testing.assert_array_equal(np.asarray(fs_l.cov), np.asarray(fs_d.cov))
+    np.testing.assert_array_equal(
+        np.asarray(out_l.position), np.asarray(out_d.position)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_l.dvl_nis), np.asarray(out_d.dvl_nis)
+    )
+    assert not np.any(np.asarray(out_l.adcp_accepted))
+
+    # same equivalence on the bank tick
+    from slam_uwv_kalman_filters_tpu.parallel import bank as bankmod
+
+    B = 2
+    bstate = bankmod.replicate(state, B)
+    bank_dense = jax.tree_util.tree_map(
+        lambda x: np.broadcast_to(np.asarray(x)[:, None, ...], (T, B, *np.shape(x)[1:])),
+        dense,
+    )
+    bank_lean = jax.tree_util.tree_map(
+        lambda x: np.broadcast_to(np.asarray(x)[:, None, ...], (T, B, *np.shape(x)[1:])),
+        lean,
+    )
+    fs_bd, _ = drv.run_trajectory_bank(bstate, params, bank_dense, use_fused=False)
+    fs_bl, _ = drv.run_trajectory_bank(bstate, params, bank_lean, use_fused=False)
+    np.testing.assert_array_equal(np.asarray(fs_bl.cov), np.asarray(fs_bd.cov))
