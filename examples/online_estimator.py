@@ -75,6 +75,12 @@ def main(argv=None):
         help="dispatch predict + the tick's sensor updates as ONE kernel "
         "launch (step_lanes) — the small-bank latency mode",
     )
+    p.add_argument(
+        "--aot", action="store_true",
+        help="pre-export the tick functions (utils.aot / jax.export) and "
+        "dispatch the deserialized artifacts — the ship-to-vehicle path "
+        "with no tracing in the mission loop",
+    )
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -177,6 +183,27 @@ def main(argv=None):
             interpret=interpret,
         )
         return out
+
+    if args.aot:
+        # the ship-to-vehicle deployment path: every tick function crosses a
+        # serialized-artifact boundary before the mission loop sees it — the
+        # loop below then runs deserialized steps with zero tracing
+        from slam_uwv_kalman_filters_tpu.utils import aot
+
+        allow = jax.default_backend() == "tpu"
+        rt = lambda fn, *ex: aot.deserialize(
+            aot.serialize(aot.export_step(fn, *ex, allow_tpu_kernels=allow))
+        )
+        ex_rr = jnp.zeros((args.bank, 3), dtype)
+        ex_zv = jnp.zeros((args.bank, 3), dtype)
+        ex_zp = jnp.zeros((args.bank, 1), dtype)
+        if args.fused_step:
+            tick_step_dvl = rt(tick_step_dvl, ls, ex_rr, ex_zv)
+            tick_step_press = rt(tick_step_press, ls, ex_rr, ex_zp)
+            tick_step_both = rt(tick_step_both, ls, ex_rr, ex_zv, ex_zp)
+        tick_predict = rt(tick_predict, ls, ex_rr)
+        tick_dvl = rt(tick_dvl, ls, ex_zv)
+        tick_press = rt(tick_press, ls, ex_zp)
 
     sensor_dims = np.asarray([3, 3, 1], np.int32)
     last_gyro = np.zeros(3)  # gyro is an input sensor: ticks without an event
