@@ -29,8 +29,14 @@ sanity check only.
 Environment knobs: BENCH_SCENARIO (pose_full | pose | velocity | bottom |
 indirect), BENCH_BANK (default 131072 for pose_full — the north star names
 100k instances; 65536 for the single-sensor scenarios), BENCH_ITERS,
-BENCH_DTYPE (float32 on TPU — f64 does not compile on this backend),
-BENCH_ATE=0 to skip the accuracy replay.
+BENCH_INNER (in-program fori_loop length amortizing per-dispatch tunnel RTT
+for the small-filter scenarios), BENCH_DTYPE (float32 on TPU — f64 does not
+compile on this backend), BENCH_POSE_PATH (lanes | steps | bank),
+BENCH_ATE=0 to skip the solo accuracy replay, BENCH_BANK_ATE (fleet ATE
+distribution bank size; default 1024 on TPU, off on CPU), BENCH_SURFACE=0 /
+BENCH_SMALL=0 / BENCH_LATENCY=0 to skip the extra artifact scenarios
+(BENCH_SMALL defaults off on CPU), BENCH_CHECK_BASELINE=0 to skip the live
+CPU-baseline sanity check.
 """
 
 from __future__ import annotations
