@@ -769,6 +769,23 @@ def banked_predict_operands(
 
     dt = jnp.asarray(dt, dtype)
     nb = params.process_noise.shape[0]
+    # the per-lane operand build vmaps over EVERY leaf — a partially-banked
+    # set (only some leaves carrying the bank axis) would die inside vmap
+    # with an opaque axis-size error; fail with the fix instead
+    bad = [
+        jax.tree_util.keystr(path)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params)
+        if jnp.ndim(leaf) == 0 or jnp.shape(leaf)[0] != nb
+    ]
+    if bad:
+        raise ValueError(
+            "banked lanes prediction requires a FULLY-banked parameter set "
+            "(leading bank axis on every leaf); broadcast shared leaves "
+            "first — e.g. jax.tree_util.tree_map(lambda x: "
+            "jnp.broadcast_to(x, (n, *jnp.shape(x))), params) or "
+            "examples/icra18_mission.monte_carlo_params; offending leaves: "
+            f"{bad[:6]}"
+        )
     pad = nb_padded - nb
     pad_lane = lambda a: (
         jnp.concatenate([a, jnp.tile(a[:1], (pad, *(1,) * (a.ndim - 1)))], axis=0)
