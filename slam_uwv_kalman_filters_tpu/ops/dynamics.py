@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .linalg_small import solve_spd
 from .manifolds import quat_rotate, quat_rotate_inv, so3_boxplus
@@ -207,16 +208,21 @@ def simulate_effort(
 # inertia/damping states (src/PoseUKF.cpp:159-171 and :303-314).
 # ---------------------------------------------------------------------------
 
-_XY_YAW = jnp.array([0, 1, 5])
+# numpy, not jnp: a module-level jnp constant is committed to whichever
+# backend is default at import time, and every later use under a different
+# default device forces a cross-backend transfer (on the remote-tunnel TPU
+# backend the device→host direction can hang outright — observed r5 when
+# the bench started building its initial state on the local CPU backend)
+_XY_YAW = np.array([0, 1, 5])
 
 
 def extract_xy_yaw(mat6: jax.Array) -> jax.Array:
     """6×6 → 3×3 surge/sway/yaw block, the reference's state extraction
     (``src/PoseUKF.cpp:303-306``)."""
-    return mat6[jnp.ix_(_XY_YAW, _XY_YAW)]
+    return mat6[np.ix_(_XY_YAW, _XY_YAW)]
 
 
 def embed_xy_yaw(mat6: jax.Array, block3: jax.Array) -> jax.Array:
     """Write a 3×3 (x,y,ψ) block back into a 6×6 matrix — the per-sigma-point
     parameter substitution of ``src/PoseUKF.cpp:159-171``."""
-    return mat6.at[jnp.ix_(_XY_YAW, _XY_YAW)].set(block3)
+    return mat6.at[np.ix_(_XY_YAW, _XY_YAW)].set(block3)
