@@ -36,7 +36,10 @@ BENCH_ATE=0 to skip the solo accuracy replay, BENCH_BANK_ATE (fleet ATE
 distribution bank size; default 1024 on TPU, off on CPU), BENCH_SURFACE=0 /
 BENCH_SMALL=0 / BENCH_LATENCY=0 to skip the extra artifact scenarios
 (BENCH_SMALL defaults off on CPU), BENCH_CHECK_BASELINE=0 to skip the live
-CPU-baseline sanity check.
+CPU-baseline sanity check, BENCH_DEADLINE (seconds, default 780) — the
+internal wall-clock budget: the headline phase runs first, every optional
+phase checks the remaining budget before starting, and a SIGALRM safety net
+prints the partial artifact if the budget is overrun anyway.
 """
 
 from __future__ import annotations
@@ -44,8 +47,11 @@ from __future__ import annotations
 import functools
 import json
 import os
+import signal
 import sys
 import time
+
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +60,57 @@ import numpy as np
 
 def _log(*a):
     print(*a, file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# wall-clock budget: the driver runs this under a hard timeout, and a bench
+# that dies mid-phase leaves NO artifact (round-4 lesson: rc=124, parsed
+# null). Every optional phase checks the remaining budget before starting,
+# and a watchdog THREAD prints whatever has been accumulated and exits 0 if
+# a phase overstays anyway. A thread, not (only) SIGALRM: a hung remote
+# compile/transfer RPC parks the main thread in a C-level futex wait where
+# Python never gets back between bytecodes to run a signal handler, but a
+# daemon timer thread still runs because the blocked call releases the GIL
+# (observed live on the axon backend during round-5 validation).
+# ---------------------------------------------------------------------------
+
+_T0 = time.monotonic()
+_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", "780"))
+_OUT: dict = {}  # the one-line artifact, filled in as phases complete
+_PHASE = ["startup"]  # name of the phase in progress, for truncation reports
+
+
+def _remaining() -> float:
+    return _DEADLINE_S - (time.monotonic() - _T0)
+
+
+def _emit_and_exit(signum=None, frame=None):
+    if signum is not None:
+        # say WHICH phase was cut short — a bench truncated in the optional
+        # tail (e.g. the advisory live-baseline re-measurement) still
+        # carries every measured number
+        _OUT.setdefault("truncated_phase", _PHASE[0])
+        _log(
+            f"BENCH_DEADLINE ({_DEADLINE_S:.0f}s) hit during {_PHASE[0]!r} — "
+            "emitting partial artifact"
+        )
+    print(json.dumps(_OUT), flush=True)
+    os._exit(0)
+
+
+def _arm_watchdog() -> threading.Timer:
+    t = threading.Timer(_DEADLINE_S + 30.0, _emit_and_exit, args=(signal.SIGALRM, None))
+    t.daemon = True
+    t.start()
+    return t
+
+
+def _phase_budget_ok(name: str, est_s: float) -> bool:
+    if _remaining() > est_s + 45.0:
+        _PHASE[0] = name
+        return True
+    _log(f"skipping {name}: est {est_s:.0f}s > remaining {_remaining():.0f}s budget")
+    return False
 
 
 def _make_sync(example):
@@ -101,31 +158,41 @@ def _pose_full_setup(dtype):
     from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn, geodesy as geo
     from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
 
-    cfg = default_pose_ukf_config()
-    state, params = pukf.init_from_pose(
-        imu_in_nwu_pos=jnp.zeros(3, dtype),
-        imu_in_nwu_pos_cov=jnp.eye(3, dtype=dtype) * 0.01,
-        imu_in_nwu_rot=jnp.array([1.0, 0, 0, 0], dtype),
-        imu_in_nwu_rot_cov=jnp.eye(3, dtype=dtype) * 1e-4,
-        config=cfg,
-        model_parameters=dyn.default_uwv_parameters(dtype=dtype),
-        imu_delta_t=0.01,
-        dtype=dtype,
-    )
-    g = float(geo.wgs84_gravity(cfg.location.latitude, cfg.location.altitude))
-    meas = dict(
-        gyro=jnp.asarray([0.0, 0.0, 0.01], dtype),
-        acc=jnp.asarray([0.0, 0.0, g], dtype),
-        acc_cov=jnp.eye(3, dtype=dtype) * 4e-5,
-        dvl=jnp.asarray([0.3, 0.0, 0.0], dtype),
-        dvl_cov=jnp.eye(3, dtype=dtype) * 1e-3,
-        press=jnp.asarray([float(cfg.hydrostatics.atmospheric_pressure)], dtype),
-        press_cov=jnp.eye(1, dtype=dtype) * 2500.0,
-        adcp=jnp.asarray([0.0, 0.0], dtype),
-        adcp_cov=jnp.eye(2, dtype=dtype) * 1e-3,
-        eff=jnp.zeros(6, dtype),
-        eff_cov=jnp.eye(6, dtype=dtype) * 1.0,
-    )
+    # build the small initial pytrees on the LOCAL CPU backend and move them
+    # over in one device_put: init_from_pose is hundreds of tiny eager ops,
+    # and on the remote-tunnel TPU backend each pays dispatch RTT — measured
+    # ~3 min of the r3/r4 batched-phase wall was this setup, ~20 s this way
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        cfg = default_pose_ukf_config()
+        state, params = pukf.init_from_pose(
+            imu_in_nwu_pos=jnp.zeros(3, dtype),
+            imu_in_nwu_pos_cov=jnp.eye(3, dtype=dtype) * 0.01,
+            imu_in_nwu_rot=jnp.array([1.0, 0, 0, 0], dtype),
+            imu_in_nwu_rot_cov=jnp.eye(3, dtype=dtype) * 1e-4,
+            config=cfg,
+            model_parameters=dyn.default_uwv_parameters(dtype=dtype),
+            imu_delta_t=0.01,
+            dtype=dtype,
+        )
+        g = float(geo.wgs84_gravity(cfg.location.latitude, cfg.location.altitude))
+        meas = dict(
+            gyro=jnp.asarray([0.0, 0.0, 0.01], dtype),
+            acc=jnp.asarray([0.0, 0.0, g], dtype),
+            acc_cov=jnp.eye(3, dtype=dtype) * 4e-5,
+            dvl=jnp.asarray([0.3, 0.0, 0.0], dtype),
+            dvl_cov=jnp.eye(3, dtype=dtype) * 1e-3,
+            press=jnp.asarray([float(cfg.hydrostatics.atmospheric_pressure)], dtype),
+            press_cov=jnp.eye(1, dtype=dtype) * 2500.0,
+            adcp=jnp.asarray([0.0, 0.0], dtype),
+            adcp_cov=jnp.eye(2, dtype=dtype) * 1e-3,
+            eff=jnp.zeros(6, dtype),
+            eff_cov=jnp.eye(6, dtype=dtype) * 1.0,
+        )
+    if jax.default_backend() != "cpu":
+        state, params, meas = jax.device_put(
+            (state, params, meas), jax.devices()[0]
+        )
     return state, params, meas
 
 
@@ -202,12 +269,65 @@ def bench_pose_full_tpu_lanes(bank_n, iters, dtype, steps=False):
     like = jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), bstate)
     del bstate, state
 
+    # the schedule as a scan over ticks with per-tick event flags, NOT a
+    # 100-tick unrolled trace: identical launch sequence at runtime
+    # (`lax.cond` on a scalar pred executes only the taken branch on TPU),
+    # but the compiled body is ONE tick — predict + acc + four cond'd
+    # updates — instead of 218 inlined kernel calls. Measured r5: cuts the
+    # cold compile of the mission second ~6x (the round-4 artifact died in
+    # that compile under host contention) at identical hot throughput.
+    ticks_np = np.arange(FULL_TICKS)
+    flags = (
+        jnp.asarray(ticks_np % 20 == 19),  # DVL 5 Hz
+        jnp.asarray(ticks_np % 50 == 49),  # pressure 2 Hz
+        jnp.asarray(ticks_np % 100 == 99),  # ADCP 1 Hz
+        jnp.asarray(ticks_np % 10 == 9),  # body efforts 10 Hz
+    )
+
+    def tick(ls, f):
+        dvl, press, adcp, eff = f
+        ls = pf.predict_lanes(ls, params, 0.01)
+        ls, _ = puf.update_model_lanes("acceleration", ls, bc(ms["acc"]), ms["acc_cov"])
+        ls = jax.lax.cond(
+            dvl,
+            lambda l: puf.update_velocity_lanes(l, params, bc(ms["dvl"]), ms["dvl_cov"])[0],
+            lambda l: l,
+            ls,
+        )
+        ls = jax.lax.cond(
+            press,
+            lambda l: puf.update_model_lanes(
+                "pressure", l, bc(ms["press"]), ms["press_cov"],
+                aux=(p_atm, 0.0, 0.0, 0.0),
+            )[0],
+            lambda l: l,
+            ls,
+        )
+        ls = jax.lax.cond(
+            adcp,
+            lambda l: puf.update_model_lanes(
+                "water_velocity", l, bc(ms["adcp"]), ms["adcp_cov"],
+                ukfops.D2P95, aux=(0.5,),
+            )[0],
+            lambda l: l,
+            ls,
+        )
+        ls = jax.lax.cond(
+            eff,
+            lambda l: puf.update_body_efforts_lanes(l, params, bc(ms["eff"]), ms["eff_cov"])[0],
+            lambda l: l,
+            ls,
+        )
+        return ls, None
+
     # donate the carry: the production steady-state pattern — XLA aliases the
     # input state buffers into the output, halving resident state
     @functools.partial(jax.jit, donate_argnums=0)
     def super_tick(ls):
-        for k in range(FULL_TICKS):
-            if steps:
+        if steps:
+            # whole-step fused kernel variant keeps the static-schedule
+            # unrolled trace (each tick's update list is a static argument)
+            for k in range(FULL_TICKS):
                 ups = [puf.StepUpdate("acceleration", bc(ms["acc"]), ms["acc_cov"])]
                 if _DVL_AT(k):
                     ups.append(puf.StepUpdate("velocity", bc(ms["dvl"]), ms["dvl_cov"]))
@@ -226,25 +346,12 @@ def bench_pose_full_tpu_lanes(bank_n, iters, dtype, steps=False):
                         )
                     )
                 ls, _ = puf.step_lanes(ls, params, 0.01, ups)
-            else:
-                ls = pf.predict_lanes(ls, params, 0.01)
-                ls, _ = puf.update_model_lanes(
-                    "acceleration", ls, bc(ms["acc"]), ms["acc_cov"]
-                )
-                if _DVL_AT(k):
-                    ls, _ = puf.update_velocity_lanes(ls, params, bc(ms["dvl"]), ms["dvl_cov"])
-                if _PRESS_AT(k):
-                    ls, _ = puf.update_model_lanes(
-                        "pressure", ls, bc(ms["press"]), ms["press_cov"],
-                        aux=(p_atm, 0.0, 0.0, 0.0),
+                if _EFF_AT(k):
+                    ls, _ = puf.update_body_efforts_lanes(
+                        ls, params, bc(ms["eff"]), ms["eff_cov"]
                     )
-                if _ADCP_AT(k):
-                    ls, _ = puf.update_model_lanes(
-                        "water_velocity", ls, bc(ms["adcp"]), ms["adcp_cov"],
-                        ukfops.D2P95, aux=(0.5,),
-                    )
-            if _EFF_AT(k):
-                ls, _ = puf.update_body_efforts_lanes(ls, params, bc(ms["eff"]), ms["eff_cov"])
+            return ls
+        ls, _ = jax.lax.scan(tick, ls, flags)
         return ls
 
     sync = _make_sync(ls.cov_t)
@@ -295,23 +402,52 @@ def bench_pose_surface_tpu_lanes(bank_n, iters, dtype):
     z = jnp.zeros((bank_n, 1), dtype)
     z_cov = jnp.eye(1, dtype=dtype) * 1e-2
 
+    ticks_np = np.arange(FULL_TICKS)
+    flags = (
+        jnp.asarray(ticks_np % 20 == 19),  # DVL 5 Hz
+        jnp.asarray(ticks_np % 50 == 24),  # depth fix 2 Hz
+        jnp.asarray(ticks_np % 50 == 49),  # XY fix 2 Hz
+        jnp.asarray(ticks_np == 49),  # delayed-XY fix 1 Hz
+        jnp.asarray(ticks_np == 99),  # gated GPS fix 1 Hz
+    )
+
+    def tick(ls, f):
+        dvl, zf, xyf, delf, gpsf = f
+        ls = pf.predict_lanes(ls, params, 0.01)
+        ls, _ = puf.update_model_lanes("acceleration", ls, bc(ms["acc"]), ms["acc_cov"])
+        ls = jax.lax.cond(
+            dvl,
+            lambda l: puf.update_velocity_lanes(l, params, bc(ms["dvl"]), ms["dvl_cov"])[0],
+            lambda l: l,
+            ls,
+        )
+        ls = jax.lax.cond(
+            zf, lambda l: puf.update_model_lanes("z_position", l, z, z_cov)[0],
+            lambda l: l, ls,
+        )
+        ls = jax.lax.cond(
+            xyf, lambda l: puf.update_model_lanes("xy_position", l, xy, xy_cov)[0],
+            lambda l: l, ls,
+        )
+        ls = jax.lax.cond(
+            delf,
+            lambda l: drv.delayed_xy_update_lanes(l, xy, xy_cov, xy, nb=bank_n)[0],
+            lambda l: l,
+            ls,
+        )
+        ls = jax.lax.cond(
+            gpsf,
+            lambda l: drv.gps_update_lanes(
+                l, params, lat0, lon0, xy_cov, gps_in_body, nb=bank_n
+            )[0],
+            lambda l: l,
+            ls,
+        )
+        return ls, None
+
     @functools.partial(jax.jit, donate_argnums=0)
     def super_tick(ls):
-        for k in range(FULL_TICKS):
-            ls = pf.predict_lanes(ls, params, 0.01)
-            ls, _ = puf.update_model_lanes("acceleration", ls, bc(ms["acc"]), ms["acc_cov"])
-            if _DVL_AT(k):
-                ls, _ = puf.update_velocity_lanes(ls, params, bc(ms["dvl"]), ms["dvl_cov"])
-            if _SURF_Z_AT(k):
-                ls, _ = puf.update_model_lanes("z_position", ls, z, z_cov)
-            if _SURF_XY_AT(k):
-                ls, _ = puf.update_model_lanes("xy_position", ls, xy, xy_cov)
-            if _SURF_DEL_AT(k):
-                ls, _ = drv.delayed_xy_update_lanes(ls, xy, xy_cov, xy, nb=bank_n)
-            if _SURF_GPS_AT(k):
-                ls, _ = drv.gps_update_lanes(
-                    ls, params, lat0, lon0, xy_cov, gps_in_body, nb=bank_n
-                )
+        ls, _ = jax.lax.scan(tick, ls, flags)
         return ls
 
     sync = _make_sync(ls.cov_t)
@@ -327,7 +463,7 @@ def bench_pose_surface_tpu_lanes(bank_n, iters, dtype):
     return bank_n * FULL_TICKS * iters / dt
 
 
-def bench_pose_full_cpu_single(iters=3, repeats=5):
+def bench_pose_full_cpu_single(iters=3, repeats=3):
     """Single-instance f64 full-mission second on one CPU core (the
     C++-semantics stand-in): separate jitted phases, applied only on their
     schedule — the reference's event-driven cost structure."""
@@ -808,6 +944,12 @@ def load_canonical_baseline(scenario: str):
 
 
 def main():
+    # safety nets: whatever happens, emit the artifact before the driver's
+    # hard timeout can strike (round-4 lesson). SIGALRM catches pure-Python
+    # overruns; the watchdog thread catches main-thread-blocked-in-C hangs.
+    signal.signal(signal.SIGALRM, _emit_and_exit)
+    signal.alarm(int(_DEADLINE_S) + 45)
+    watchdog = _arm_watchdog()
     # persistent compile cache: the fused kernels take ~1-2 min of (remote)
     # compile per shape on first use; cached reruns start in seconds
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compilation_cache")
@@ -830,40 +972,11 @@ def main():
 
     _log(
         f"backend={backend} scenario={scenario} bank={bank_n} iters={iters} "
-        f"dtype={jnp.dtype(dtype).name}"
+        f"dtype={jnp.dtype(dtype).name} deadline={_DEADLINE_S:.0f}s"
     )
 
-    # accuracy half of the north star first — before the CPU baseline sanity
-    # check flips jax_enable_x64 (the f32 replay must trace with the same
-    # config the deployment uses)
-    ate = None
-    ate_wall = float("nan")
-    if os.environ.get("BENCH_ATE", "1") != "0" and scenario == "pose_full":
-        try:
-            t0 = time.perf_counter()
-            ate, dist = measure_mission_ate("f32")
-            ate_wall = time.perf_counter() - t0
-            _log(
-                f"mission ATE (f32, {backend}): {ate:.4f} m over {dist:.0f} m "
-                f"(wall {ate_wall:.1f}s)"
-            )
-        except Exception as e:
-            _log(f"ATE replay failed: {e}")
-    bank_ate = None
-    # default ON only where it belongs: a 1024-instance, 6000-tick fleet
-    # replay (twice, with the noise-floor companion) is a seconds-scale TPU
-    # job but an hours-scale generic-path CPU job
-    bank_ate_n = int(
-        os.environ.get("BENCH_BANK_ATE", "1024" if backend == "tpu" else "0")
-    )
-    if bank_ate_n > 0 and scenario == "pose_full":
-        try:
-            bank_ate = measure_bank_ate(bank_ate_n)
-            _log(f"fleet ATE distribution: {bank_ate}")
-        except Exception as e:
-            _log(f"fleet ATE replay failed: {e}")
-
-    extra_scenarios = {}
+    # ---- phase 1: the HEADLINE metric, before anything optional ----------
+    _PHASE[0] = "headline"
     if scenario == "pose_full":
         # lanes-persistent steady-state loop by default on the TPU f32 path
         # (BENCH_POSE_PATH=bank forces the public bank-API chain — the
@@ -880,13 +993,99 @@ def main():
             value = bench_pose_full_tpu_lanes(bank_n, iters, dtype, steps=pose_path == "steps")
         else:
             value = bench_pose_full_tpu(bank_n, iters, dtype)
-        _log(f"batched: {value:.0f} ticks/s (wall {time.perf_counter()-t0:.1f}s)")
+        batched_wall = time.perf_counter() - t0
+        _log(f"batched: {value:.0f} ticks/s (wall {batched_wall:.1f}s)")
         metric = "pose_full_mission_ticks_per_sec_per_chip"
         unit = "mission-ticks/s"
         live_baseline_fn = bench_pose_full_cpu_single
+    else:
+        pose_path, use_lanes = None, False
+        state, params, step = build_step(dtype, scenario)
+        t0 = time.perf_counter()
+        value = bench_tpu_bank(state, step, bank_n, iters, dtype)
+        batched_wall = time.perf_counter() - t0
+        _log(f"batched: {value:.0f} steps/s (wall {batched_wall:.1f}s)")
+        metric = f"{scenario}_ukf_predict_update_steps_per_sec_per_chip"
+        unit = "filter-steps/s"
+        live_baseline_fn = lambda: bench_cpu_single(scenario)
 
-        # ---- one artifact, every scenario (VERDICT r3 items 6+8) ----------
-        if use_lanes and os.environ.get("BENCH_SURFACE", "1") != "0":
+    baseline = load_canonical_baseline(scenario)
+    vs_baseline = value / baseline if baseline else float("nan")
+    if baseline is not None:
+        _log(f"canonical CPU baseline: {baseline:.0f} steps/s (BASELINE_CPU.json)")
+    _OUT.update(
+        {
+            "metric": metric,
+            "value": round(value, 1),
+            "unit": unit,
+            "vs_baseline": round(vs_baseline, 2) if np.isfinite(vs_baseline) else None,
+            "bank": bank_n,
+            "batched_wall_s": round(batched_wall, 1),
+        }
+    )
+    if scenario == "pose_full":
+        # self-describing artifact: which code path produced the number
+        # (lanes = lanes-persistent kernel loop, steps = whole-step fused
+        # kernel, bank = public bank-API chain)
+        _OUT["path"] = pose_path if use_lanes else "bank"
+
+    # ---- phase 2: solo mission ATE (the accuracy half of the north star) --
+    if (
+        os.environ.get("BENCH_ATE", "1") != "0"
+        and scenario == "pose_full"
+        and _phase_budget_ok("mission ATE", 150.0)
+    ):
+        try:
+            t0 = time.perf_counter()
+            ate, dist = measure_mission_ate("f32")
+            ate_wall = time.perf_counter() - t0
+            _log(
+                f"mission ATE (f32, {backend}): {ate:.4f} m over {dist:.0f} m "
+                f"(wall {ate_wall:.1f}s)"
+            )
+            _OUT.update(
+                {
+                    "ate_m": round(ate, 4),
+                    "ate_dtype": "float32",
+                    "ate_bound_m": 0.10,
+                    # replay route (self-describing artifact): the lanes
+                    # bank-of-1 loop on TPU (measured 9x lower wall, same
+                    # mission), generic scan on CPU
+                    "ate_path": "lanes" if backend == "tpu" else "generic",
+                    "ate_wall_s": round(ate_wall, 1),
+                }
+            )
+        except Exception as e:
+            _log(f"ATE replay failed: {e}")
+
+    # ---- phase 3: fleet ATE distribution over a Monte-Carlo bank ----------
+    # default ON only where it belongs: a 1024-instance, 6000-tick fleet
+    # replay (twice, with the noise-floor companion) is a seconds-scale TPU
+    # job but an hours-scale generic-path CPU job
+    bank_ate_n = int(
+        os.environ.get("BENCH_BANK_ATE", "1024" if backend == "tpu" else "0")
+    )
+    if (
+        bank_ate_n > 0
+        and scenario == "pose_full"
+        and _phase_budget_ok("fleet ATE", 150.0)
+    ):
+        try:
+            bank_ate = measure_bank_ate(bank_ate_n)
+            _log(f"fleet ATE distribution: {bank_ate}")
+            _OUT.update(bank_ate)
+        except Exception as e:
+            _log(f"fleet ATE replay failed: {e}")
+
+    # ---- phases 4-6: extra scenario lines (VERDICT r3 items 6+8) ----------
+    extra_scenarios = {}
+    _OUT["scenarios"] = extra_scenarios
+    if scenario == "pose_full":
+        if (
+            use_lanes
+            and os.environ.get("BENCH_SURFACE", "1") != "0"
+            and _phase_budget_ok("surface transit", 120.0)
+        ):
             try:
                 t0 = time.perf_counter()
                 v_surf = bench_pose_surface_tpu_lanes(bank_n, iters, dtype)
@@ -900,6 +1099,8 @@ def main():
         small_default = "1" if jax.default_backend() == "tpu" else "0"
         if os.environ.get("BENCH_SMALL", small_default) != "0":
             for sc in ("velocity", "bottom", "indirect"):
+                if not _phase_budget_ok(f"small filter {sc}", 60.0):
+                    break
                 try:
                     t0 = time.perf_counter()
                     sc_bank = 65536
@@ -918,7 +1119,11 @@ def main():
                     }
                 except Exception as e:
                     _log(f"{sc} scenario failed: {e}")
-        if use_lanes and os.environ.get("BENCH_LATENCY", "1") != "0":
+        if (
+            use_lanes
+            and os.environ.get("BENCH_LATENCY", "1") != "0"
+            and _phase_budget_ok("online latency", 90.0)
+        ):
             try:
                 for nb_l in (1, 128):
                     p50, p99, compile_s = bench_online_latency(nb_l)
@@ -931,20 +1136,15 @@ def main():
                     }
             except Exception as e:
                 _log(f"latency scenario failed: {e}")
-    else:
-        state, params, step = build_step(dtype, scenario)
-        t0 = time.perf_counter()
-        value = bench_tpu_bank(state, step, bank_n, iters, dtype)
-        _log(f"batched: {value:.0f} steps/s (wall {time.perf_counter()-t0:.1f}s)")
-        metric = f"{scenario}_ukf_predict_update_steps_per_sec_per_chip"
-        unit = "filter-steps/s"
-        live_baseline_fn = lambda: bench_cpu_single(scenario)
+    if not extra_scenarios:
+        del _OUT["scenarios"]
 
-    baseline = load_canonical_baseline(scenario)
+    # ---- phase 7 (LAST — flips jax_enable_x64): live CPU baseline check ---
     if baseline is not None:
-        vs_baseline = value / baseline
-        _log(f"canonical CPU baseline: {baseline:.0f} steps/s (BASELINE_CPU.json)")
-        if os.environ.get("BENCH_CHECK_BASELINE", "1") != "0":
+        if (
+            os.environ.get("BENCH_CHECK_BASELINE", "1") != "0"
+            and _phase_budget_ok("live baseline check", 150.0)
+        ):
             try:
                 live = live_baseline_fn()
                 drift = live / baseline
@@ -956,36 +1156,13 @@ def main():
         try:
             live = live_baseline_fn()
             _log(f"single-instance CPU baseline (live): {live:.0f} steps/s")
-            vs_baseline = value / live
+            _OUT["vs_baseline"] = round(value / live, 2)
         except Exception as e:
             _log(f"baseline measurement failed: {e}")
-            vs_baseline = float("nan")
 
-    out = {
-        "metric": metric,
-        "value": round(value, 1),
-        "unit": unit,
-        "vs_baseline": round(vs_baseline, 2) if np.isfinite(vs_baseline) else None,
-    }
-    if scenario == "pose_full":
-        # self-describing artifact: which code path produced the number
-        # (lanes = lanes-persistent kernel loop, steps = whole-step fused
-        # kernel, bank = public bank-API chain)
-        out["path"] = pose_path if use_lanes else "bank"
-    if ate is not None:
-        out["ate_m"] = round(ate, 4)
-        out["ate_dtype"] = "float32"
-        out["ate_bound_m"] = 0.10
-        # replay route (self-describing artifact): the lanes bank-of-1 loop
-        # on TPU (measured 9x lower wall, same mission), generic scan on CPU
-        out["ate_path"] = "lanes" if backend == "tpu" else "generic"
-        out["ate_wall_s"] = round(ate_wall, 1)
-    if bank_ate is not None:
-        out.update(bank_ate)
-    if extra_scenarios:
-        out["scenarios"] = extra_scenarios
-    out["bank"] = bank_n
-    print(json.dumps(out))
+    signal.alarm(0)
+    watchdog.cancel()
+    _emit_and_exit()
 
 
 if __name__ == "__main__":
