@@ -117,6 +117,7 @@ def build_fleet_setup(minutes=1.0, rate=100.0, dtype_name="f32", seed=0):
     the same multi-rate schedule as :func:`main` (DVL 5 Hz, pressure 10 Hz)
     plus a χ²-95-gated surface fix every 30 s through the GeographicPosition
     path, and per-stream noise sigmas matching the solo replay."""
+    import jax
     import jax.numpy as jnp
 
     from slam_uwv_kalman_filters_tpu.models import monte_carlo as mc
@@ -130,16 +131,20 @@ def build_fleet_setup(minutes=1.0, rate=100.0, dtype_name="f32", seed=0):
     sim = simulate_mission(n, dt, np.random.default_rng(seed), noise=False)
 
     cfg = default_pose_ukf_config()
-    state, params = pukf.init_from_pose(
-        imu_in_nwu_pos=jnp.asarray(sim["pos"][0], dtype),
-        imu_in_nwu_pos_cov=jnp.eye(3, dtype=dtype) * 0.25,
-        imu_in_nwu_rot=jnp.asarray(sim["quat"][0], dtype),
-        imu_in_nwu_rot_cov=jnp.eye(3, dtype=dtype) * 1e-4,
-        config=cfg,
-        model_parameters=dyn.default_uwv_parameters(dtype=dtype),
-        imu_delta_t=dt,
-        dtype=dtype,
-    )
+    # CPU-build + one transfer (same rationale as in :func:`main`)
+    with jax.default_device(jax.devices("cpu")[0]):
+        state, params = pukf.init_from_pose(
+            imu_in_nwu_pos=jnp.asarray(sim["pos"][0], dtype),
+            imu_in_nwu_pos_cov=jnp.eye(3, dtype=dtype) * 0.25,
+            imu_in_nwu_rot=jnp.asarray(sim["quat"][0], dtype),
+            imu_in_nwu_rot_cov=jnp.eye(3, dtype=dtype) * 1e-4,
+            config=cfg,
+            model_parameters=dyn.default_uwv_parameters(dtype=dtype),
+            imu_delta_t=dt,
+            dtype=dtype,
+        )
+    if jax.default_backend() != "cpu":
+        state, params = jax.device_put((state, params), jax.devices()[0])
     every = lambda hz: (np.arange(n) % max(1, int(round(rate / hz)))) == 0
     # clean gated surface fixes: truth XY through the FILTER's own projection
     # (so the anchor cancels), noise sigma 1.5 m converted to radians
@@ -228,18 +233,24 @@ def main(argv=None):
           f"({args.minutes:.1f} min @ {args.rate:.0f} Hz)")
 
     cfg = default_pose_ukf_config()  # defaults already match sim noise scales
-    model = dyn.default_uwv_parameters(dtype=dtype)
-
-    state, params = pukf.init_from_pose(
-        imu_in_nwu_pos=jnp.asarray(sim["pos"][0], dtype),
-        imu_in_nwu_pos_cov=jnp.eye(3, dtype=dtype) * 0.25,
-        imu_in_nwu_rot=jnp.asarray(sim["quat"][0], dtype),
-        imu_in_nwu_rot_cov=jnp.eye(3, dtype=dtype) * 1e-4,
-        config=cfg,
-        model_parameters=model,
-        imu_delta_t=dt,
-        dtype=dtype,
-    )
+    # build the initial pytrees on the local CPU backend and transfer once:
+    # init_from_pose is hundreds of tiny eager ops, each paying dispatch RTT
+    # on the remote-tunnel TPU backend (docs/TUNING.md "Compile-wall
+    # engineering")
+    with jax.default_device(jax.devices("cpu")[0]):
+        model = dyn.default_uwv_parameters(dtype=dtype)
+        state, params = pukf.init_from_pose(
+            imu_in_nwu_pos=jnp.asarray(sim["pos"][0], dtype),
+            imu_in_nwu_pos_cov=jnp.eye(3, dtype=dtype) * 0.25,
+            imu_in_nwu_rot=jnp.asarray(sim["quat"][0], dtype),
+            imu_in_nwu_rot_cov=jnp.eye(3, dtype=dtype) * 1e-4,
+            config=cfg,
+            model_parameters=model,
+            imu_delta_t=dt,
+            dtype=dtype,
+        )
+    if backend != "cpu":
+        state, params = jax.device_put((state, params), jax.devices()[0])
 
     # sensor schedule: DVL @5 Hz, pressure @10 Hz (with optional DVL dropout)
     every = lambda hz: (np.arange(n) % max(1, int(round(args.rate / hz)))) == 0
