@@ -84,7 +84,15 @@ def _remaining() -> float:
     return _DEADLINE_S - (time.monotonic() - _T0)
 
 
+_EMIT_ONCE = threading.Lock()
+
+
 def _emit_and_exit(signum=None, frame=None):
+    # exactly ONE json line, whichever of {main thread, watchdog, SIGALRM}
+    # gets here first — the loser parks until the winner's os._exit
+    if not _EMIT_ONCE.acquire(blocking=False):
+        while True:
+            time.sleep(60.0)
     if signum is not None:
         # say WHICH phase was cut short — a bench truncated in the optional
         # tail (e.g. the advisory live-baseline re-measurement) still
@@ -153,7 +161,7 @@ _ADCP_AT = lambda k: k % 100 == 99  # 1 Hz
 _EFF_AT = lambda k: k % 10 == 9  # 10 Hz
 
 
-def _pose_full_setup(dtype):
+def _pose_full_setup(dtype, host_only=False):
     from slam_uwv_kalman_filters_tpu.models import pose_ukf as pukf
     from slam_uwv_kalman_filters_tpu.ops import dynamics as dyn, geodesy as geo
     from slam_uwv_kalman_filters_tpu.utils.config import default_pose_ukf_config
@@ -189,7 +197,10 @@ def _pose_full_setup(dtype):
             eff=jnp.zeros(6, dtype),
             eff_cov=jnp.eye(6, dtype=dtype) * 1.0,
         )
-    if jax.default_backend() != "cpu":
+    # host_only: the caller wants the pytrees to STAY on the CPU backend
+    # (the f64 live-baseline runs under jax.default_device(cpu), which
+    # jax.default_backend() does not reflect — it reports backend priority)
+    if not host_only and jax.default_backend() != "cpu":
         state, params, meas = jax.device_put(
             (state, params, meas), jax.devices()[0]
         )
@@ -276,12 +287,11 @@ def bench_pose_full_tpu_lanes(bank_n, iters, dtype, steps=False):
     # updates — instead of 218 inlined kernel calls. Measured r5: cuts the
     # cold compile of the mission second ~6x (the round-4 artifact died in
     # that compile under host contention) at identical hot throughput.
-    ticks_np = np.arange(FULL_TICKS)
-    flags = (
-        jnp.asarray(ticks_np % 20 == 19),  # DVL 5 Hz
-        jnp.asarray(ticks_np % 50 == 49),  # pressure 2 Hz
-        jnp.asarray(ticks_np % 100 == 99),  # ADCP 1 Hz
-        jnp.asarray(ticks_np % 10 == 9),  # body efforts 10 Hz
+    # flags derived from the SAME predicates the steps path and the CPU
+    # baseline use — one schedule definition, three consumers
+    flags = tuple(
+        jnp.asarray([p(k) for k in range(FULL_TICKS)])
+        for p in (_DVL_AT, _PRESS_AT, _ADCP_AT, _EFF_AT)
     )
 
     def tick(ls, f):
@@ -402,13 +412,9 @@ def bench_pose_surface_tpu_lanes(bank_n, iters, dtype):
     z = jnp.zeros((bank_n, 1), dtype)
     z_cov = jnp.eye(1, dtype=dtype) * 1e-2
 
-    ticks_np = np.arange(FULL_TICKS)
-    flags = (
-        jnp.asarray(ticks_np % 20 == 19),  # DVL 5 Hz
-        jnp.asarray(ticks_np % 50 == 24),  # depth fix 2 Hz
-        jnp.asarray(ticks_np % 50 == 49),  # XY fix 2 Hz
-        jnp.asarray(ticks_np == 49),  # delayed-XY fix 1 Hz
-        jnp.asarray(ticks_np == 99),  # gated GPS fix 1 Hz
+    flags = tuple(
+        jnp.asarray([p(k) for k in range(FULL_TICKS)])
+        for p in (_DVL_AT, _SURF_Z_AT, _SURF_XY_AT, _SURF_DEL_AT, _SURF_GPS_AT)
     )
 
     def tick(ls, f):
@@ -472,7 +478,7 @@ def bench_pose_full_cpu_single(iters=3, repeats=3):
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        state, params, ms = _pose_full_setup(jnp.float64)
+        state, params, ms = _pose_full_setup(jnp.float64, host_only=True)
         state = pukf.integrate_rotation_rate(state, ms["gyro"])
         predict = jax.jit(lambda s: pukf.predict(s, params, 0.01))
         up_acc = jax.jit(lambda s: pukf.update_acceleration(s, params, ms["acc"], ms["acc_cov"])[0])
@@ -1151,7 +1157,7 @@ def main():
                 _log(f"live baseline sanity check: {live:.0f} steps/s ({drift:.2f}x canonical)")
             except Exception as e:
                 _log(f"live baseline sanity check failed: {e}")
-    else:
+    elif _phase_budget_ok("live baseline (no canonical)", 150.0):
         _log("no canonical baseline for this scenario — measuring live")
         try:
             live = live_baseline_fn()
