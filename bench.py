@@ -1172,4 +1172,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the artifact contract is
+        # "ALWAYS one JSON line": a dead TPU backend (e.g. 'Unable to
+        # initialize backend axon: UNAVAILABLE', observed live when the
+        # remote terminal died) must yield a parseable artifact naming the
+        # failure, not a bare traceback
+        _OUT.setdefault("error", f"{type(e).__name__}: {e}"[:300])
+        _log(f"bench aborted during {_PHASE[0]!r}: {e}")
+        _emit_and_exit()
