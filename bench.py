@@ -1146,6 +1146,13 @@ def main():
         del _OUT["scenarios"]
 
     # ---- phase 7 (LAST — flips jax_enable_x64): live CPU baseline check ---
+    # Persistent-cache writes OFF from here: the baseline compiles XLA:CPU
+    # executables >1s, and the PjRt executable.serialize() inside the cache
+    # WRITE path has segfaulted (flaky, XLA:CPU + interpret-Pallas custom
+    # calls — see tests/conftest.py). A segfault in this advisory phase
+    # would lose the fully-accumulated artifact; a cache write here never
+    # pays back in a fresh driver environment. Reads stay enabled.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
     if baseline is not None:
         if (
             os.environ.get("BENCH_CHECK_BASELINE", "1") != "0"
